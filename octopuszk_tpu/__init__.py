@@ -9,10 +9,15 @@ distributed over a `jax.sharding.Mesh` in place of Spark RDDs.
 
 import os
 
+import jax
+
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # recompile identically across runs (tests, profiler sweeps, benches).
-if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
-        "~/.cache/octopuszk_tpu_jax")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/octopuszk_tpu_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 __version__ = "0.1.0"

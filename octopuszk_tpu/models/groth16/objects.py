@@ -1,0 +1,57 @@
+"""Groth16 object model: CRS / proving key / verification key / proof.
+
+Reference parity: zk_proof_systems/zkSNARK/objects/{CRS, ProvingKey,
+VerificationKey, Proof}.java — with the TPU-native split: big query
+vectors are device Jacobian point batches, O(1) elements (alpha, beta,
+delta, the GT pairing value, proof points) are host affine points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    """Reference: ProvingKey.java.  Queries are device point batches."""
+
+    alpha_g1: Any            # host affine G1
+    beta_g1: Any
+    beta_g2: Any             # host affine G2
+    delta_g1: Any
+    delta_g2: Any
+    delta_abc_g1: Any        # device G1 batch [num_variables - num_inputs]
+    query_a: Any             # device G1 batch [num_variables]
+    query_b_g1: Any          # device G1 batch [num_variables]
+    query_b_g2: Any          # device G2 batch [num_variables]
+    query_h: Any             # device G1 batch [degree + 1]
+    r1cs: Any
+
+
+@dataclasses.dataclass
+class VerificationKey:
+    """Reference: VerificationKey.java.  All host-side (verifier is O(1)
+    pairings + a num_inputs-sized MSM)."""
+
+    alpha_beta_gt: Any       # Fp12 element
+    gamma_g2: Any            # host affine G2
+    delta_g2: Any
+    gamma_abc_g1: list       # host affine G1 list [num_inputs]
+
+
+@dataclasses.dataclass
+class Proof:
+    """Reference: Proof.java:109-131 — (A in G1, B in G2, C in G1)."""
+
+    a: Any                   # host affine G1
+    b: Any                   # host affine G2
+    c: Any                   # host affine G1
+
+
+@dataclasses.dataclass
+class CRS:
+    """Reference: CRS.java."""
+
+    proving_key: ProvingKey
+    verification_key: VerificationKey

@@ -1,0 +1,327 @@
+"""Multi-scalar multiplication kernels (fixed-base and variable-base).
+
+TPU-first re-design of the reference's CUDA MSM layer:
+
+* **Fixed-base batch MSM** (``fixed_base_msm``): one base point G, many
+  scalars; returns [s_i]G for each i.  Window table is built on device by
+  log-depth doubling (the reference builds it per-window on GPU,
+  algebra_msm_FixedBaseMSM.cu:750-995); per-scalar evaluation is
+  outerc gathers + adds, vectorized over the whole batch.
+
+* **Variable-base Pippenger** (``pippenger_msm``): many (scalar, point)
+  pairs; returns one point.  The reference scatters points into buckets
+  with atomicAdd counters (algebra_msm_VariableBaseMSM.cu:736-777); TPUs
+  have no atomics, so bucket accumulation is re-designed as
+  sort-by-bucket + a two-level segmented prefix scan:
+    1. per window, sort point indices by bucket id;
+    2. lane-parallel serial scan over rows (k lanes x n/k rows) computes
+       inclusive EC prefix sums in O(n) work;
+    3. bucket sums are differences of prefix values at segment ends;
+    4. the classic weighted suffix reduction (sum_b b * S_b) runs as an
+       associative scan over the bucket axis;
+    5. window results combine MSB-first with c doublings per window.
+
+* **Naive MSM** (``msm_naive``): batched double-and-add + tree reduce —
+  the differential-test oracle (NaiveMSM.java:20-69 analogue).
+
+All functions take points as Jacobian limb-tensor batches (curves/bn254.py)
+and scalars as raw (non-Montgomery) uint32[L, n] limbs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from octopuszk_tpu.curves import jacobian as jac
+from octopuszk_tpu.fields.spec import LIMB_BITS, NUM_LIMBS
+
+I32 = jnp.int32
+U32 = jnp.uint32
+SCALAR_BITS = 254
+
+
+def _map_coords(point, fn):
+    return jac._map_coords(point, fn)
+
+
+# ---------------------------------------------------------------------------
+# naive reference
+# ---------------------------------------------------------------------------
+
+def msm_naive(group, points, scalars_raw):
+    """Sum_i [s_i] P_i via batched double-and-add + tree reduction."""
+    n = _batch_n(points)
+    prods = group.scalar_mul(points, scalars_raw)
+    padded, m = _pad_pow2(group, prods, n)
+    return group.tree_reduce(padded, m)
+
+
+def _batch_n(points):
+    c = points[0]
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.shape[-1]
+
+
+def _pad_pow2(group, points, n):
+    m = 1 << max(0, (n - 1).bit_length())
+    if m == n:
+        return points, m
+    inf = group.infinity((m - n,))
+    padded = tuple(
+        tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(ca, cb))
+        if isinstance(ca, tuple) else jnp.concatenate([ca, cb], axis=-1)
+        for ca, cb in zip(points, inf))
+    return padded, m
+
+
+# ---------------------------------------------------------------------------
+# digit extraction
+# ---------------------------------------------------------------------------
+
+def _digits(scalars_raw, c: int, num_win: int):
+    """uint32[num_win, n]: c-bit windows of each scalar, LSB window first."""
+    L, n = scalars_raw.shape
+    padded = jnp.concatenate(
+        [scalars_raw, jnp.zeros((1, n), dtype=scalars_raw.dtype)], axis=0)
+    out = []
+    mask = U32((1 << c) - 1)
+    for j in range(num_win):
+        bit = c * j
+        limb, off = bit // LIMB_BITS, bit % LIMB_BITS
+        lo = padded[limb] >> U32(off)
+        if off + c > LIMB_BITS:
+            lo = lo | (padded[limb + 1] << U32(LIMB_BITS - off))
+        out.append(lo & mask)
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# fixed-base batch MSM
+# ---------------------------------------------------------------------------
+
+def _window_table(group, base_point, w: int, outerc: int):
+    """Multiples table: T[win][d] = [d * 2^(w*win)] G, shape [outerc, 2^w].
+
+    Built windows-sequentially; within a window the 2^w multiples come from
+    log-depth doubling of the prefix (M_{2m} = [M_m, M_m + [m]G_win]).
+    Replaces the reference's GPU table build (getWindowTableG1,
+    algebra_msm_FixedBaseMSM.cu:851-995).
+    """
+    tables = []
+    g = base_point  # [m]G_win running generator, single point (no batch)
+    for win in range(outerc):
+        row = _map_coords(group.infinity((1,)), lambda c: c)
+        gm = _map_coords(g, lambda c: c[..., None])  # [*,1]
+        m = 1
+        while m < (1 << w):
+            shifted = group.add(row, _bc_like(gm, row))
+            row = _concat_points(row, shifted)
+            gm = group.double(gm)
+            m *= 2
+        tables.append(row)
+        g = _map_coords(gm, lambda c: c[..., 0])  # g * 2^w
+    # stack: [outerc, 2^w] on a new leading batch axis after limbs:
+    # coords become [L, outerc, 2^w]
+    return tuple(
+        tuple(jnp.stack([t[i][j] for t in tables], axis=-2)
+              for j in range(len(tables[0][i])))
+        if isinstance(tables[0][i], tuple)
+        else jnp.stack([t[i] for t in tables], axis=-2)
+        for i in range(3))
+
+
+def _bc_like(single, batch):
+    """Broadcast a [*, 1] point against a [*, m] point batch."""
+    ref = batch[0]
+    while isinstance(ref, tuple):
+        ref = ref[0]
+    m = ref.shape[-1]
+    return _map_coords(single, lambda c: jnp.broadcast_to(
+        c, c.shape[:-1] + (m,)))
+
+
+def _concat_points(p, q):
+    return tuple(
+        tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(cp, cq))
+        if isinstance(cp, tuple) else jnp.concatenate([cp, cq], axis=-1)
+        for cp, cq in zip(p, q))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def fixed_base_msm(group, base_point, scalars_raw, w: int = 8):
+    """[s_i] G for one base G and a batch of scalars: uint32[L, n] -> batch.
+
+    Reference parity: FixedBaseMSM.batchMSM (FixedBaseMSM.java:185-315) +
+    the device kernel fixedbase_MSM_unit_processing_G1 (…cu:750-791).
+    """
+    assert LIMB_BITS % w == 0 or w % LIMB_BITS == 0
+    outerc = (SCALAR_BITS + w - 1) // w
+    table = _window_table(group, base_point, w, outerc)
+    digits = _digits(scalars_raw, w, outerc)          # [outerc, n]
+
+    def body(win, acc):
+        d = digits[win]                                # [n]
+        row = _map_coords(table, lambda c: jnp.take(c, win, axis=-2))
+        pts = _map_coords(row, lambda c: c[..., d])    # gather [L, n]
+        return group.add(acc, pts)
+
+    n = scalars_raw.shape[1]
+    init = group.infinity((n,))
+    return jax.lax.fori_loop(0, outerc, body, init)
+
+
+# ---------------------------------------------------------------------------
+# variable-base Pippenger
+# ---------------------------------------------------------------------------
+
+def _choose_c(n: int) -> int:
+    """Window width: log2(n) - log2(n)/3 clamped to [4, 16] — same shape
+    as the reference heuristic (algebra_msm_VariableBaseMSM.cu:1267-1272)."""
+    logn = max(1, n.bit_length() - 1)
+    return max(4, min(16, logn - logn // 3))
+
+
+def _choose_lanes(n: int) -> int:
+    """Vector width for the serial bucket-accumulation scan."""
+    return min(n, 4096)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def pippenger_msm(group, points, scalars_raw, c: int | None = None,
+                  lanes: int | None = None):
+    """Sum_i [s_i] P_i -> single point (no batch dim).
+
+    Reference parity: VariableBaseMSM.serialMSM JNI path -> pippengerMSMG1
+    (algebra_msm_VariableBaseMSM.cu:1246-1431), re-designed sort-based.
+    """
+    n = _batch_n(points)
+    if c is None:
+        c = _choose_c(n)
+    if lanes is None:
+        lanes = _choose_lanes(n)
+    # pad to a multiple of lanes with zero scalars (bucket 0 = discarded)
+    rows = -(-n // lanes)
+    m = rows * lanes
+    if m != n:
+        points, _ = _pad_pow2_to(group, points, m)
+        scalars_raw = jnp.pad(scalars_raw, ((0, 0), (0, m - n)))
+    num_win = (SCALAR_BITS + c - 1) // c
+    digits = _digits(scalars_raw, c, num_win)          # [num_win, m]
+
+    def window_body(carry, d):
+        w_res = _window_msm(group, points, d, c, lanes, rows)
+        return carry, w_res
+
+    _, window_results = jax.lax.scan(window_body, 0, digits)
+    # combine MSB-first: acc = [2^c] acc + W_j
+    def combine(j, acc):
+        idx = num_win - 1 - j
+        wj = _map_coords(window_results, lambda a: a[idx])
+        def dbl(_, p):
+            return group.double(p)
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return group.add(acc, wj)
+
+    acc0 = group.infinity(())
+    return jax.lax.fori_loop(0, num_win, combine, acc0)
+
+
+def _pad_pow2_to(group, points, m):
+    n = _batch_n(points)
+    if m == n:
+        return points, m
+    inf = group.infinity((m - n,))
+    return _concat_points(points, inf), m
+
+
+def _window_msm(group, points, d, c: int, lanes: int, rows: int):
+    """One Pippenger window: bucket-accumulate and weight-reduce.
+
+    ``d``: uint32[m] bucket ids (0 = skip).  Returns a single point.
+    """
+    m = d.shape[0]
+    B = 1 << c
+    order = jnp.argsort(d)
+    d_sorted = d[order]
+    pts = _map_coords(points, lambda a: a[..., order])
+
+    # two-level inclusive EC prefix over sorted points
+    # lane l owns sorted positions [l*rows, (l+1)*rows)
+    def to_rows(a):  # [L, m] -> [rows, L, lanes]
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, rows)), -1, 0)
+
+    pts_rows = _map_coords(pts, to_rows)
+
+    def step(carryp, row):
+        newc = group.add(carryp, row)
+        return newc, newc
+
+    carry0 = group.infinity((lanes,))
+    lane_totals, prefix_rows = jax.lax.scan(step, carry0, pts_rows)
+
+    def from_rows(a):  # [rows, L, lanes] -> [L, m]
+        a = jnp.moveaxis(a, 0, -1)            # [L, lanes, rows]
+        return a.reshape(a.shape[:-2] + (m,))
+
+    prefix_within = _map_coords(prefix_rows, from_rows)
+
+    # exclusive prefix of lane totals across lanes
+    incl = jax.lax.associative_scan(
+        lambda x, y: group.add(x, y), lane_totals, axis=-1)
+    excl = _shift_right_inf(group, incl, lanes)
+
+    # segment-end positions: e_b = (# elements with id <= b) - 1
+    bucket_ids = jax.lax.broadcasted_iota(U32, (B, 1), 0)[:, 0]
+    e = jnp.searchsorted(d_sorted, bucket_ids, side="right").astype(I32) - 1
+    valid = e >= 0
+    eg = jnp.maximum(e, 0)
+    at_within = _map_coords(prefix_within, lambda a: a[..., eg])
+    at_lane = _map_coords(excl, lambda a: a[..., eg // rows])
+    cum = group.add(at_within, at_lane)            # [B] points
+    cum = group.select(valid, cum, group.infinity((B,)))
+
+    # bucket sums S_b = cum[b] - cum[b-1]  (b >= 1); slot 0 discarded
+    prev = _map_coords(cum, lambda a: jnp.concatenate(
+        [a[..., :1], a[..., :-1]], axis=-1))   # prev[0] = cum[0] -> S_0 = O
+    S = group.add(cum, group.negate(prev))
+
+    # drop bucket 0 by forcing it to the identity
+    is_b0 = bucket_ids == U32(0)
+    S = group.select(is_b0, group.infinity((B,)), S)
+
+    # weighted reduction: T = sum_b b * S_b = sum of suffix sums R_b (b>=1)
+    R = jax.lax.associative_scan(
+        lambda x, y: group.add(x, y), S, axis=-1, reverse=True)
+    R = group.select(is_b0, group.infinity((B,)), R)
+    return group.tree_reduce(R, B)
+
+
+def _shift_right_inf(group, p, width):
+    """
+
+    Shift a [width] point batch right by one along the batch axis,
+    filling slot 0 with the identity (exclusive-prefix helper).
+    """
+    inf1 = group.infinity((1,))
+    return tuple(
+        tuple(jnp.concatenate([zi, ci[..., :-1]], axis=-1)
+              for zi, ci in zip(z, cc)) if isinstance(cc, tuple)
+        else jnp.concatenate([z, cc[..., :-1]], axis=-1)
+        for z, cc in zip(inf1, p))
+
+
+# ---------------------------------------------------------------------------
+# field "MSM" (elementwise scalar * field base)
+# ---------------------------------------------------------------------------
+
+def field_batch_msm(spec, base_mont, scalars_mont):
+    """Elementwise scalars[i] * base over Fr (both in Montgomery form).
+
+    Reference parity: field_MSM (algebra_msm_FixedBaseMSM.cu:1241-1266).
+    """
+    from octopuszk_tpu.fields import fp
+    return fp.mont_mul(spec, scalars_mont, base_mont[:, None])
