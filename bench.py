@@ -1,0 +1,87 @@
+"""Headline benchmark: variable-base G1 MSM throughput (points/s/chip).
+
+Reference analogue: the `vmsm-g1` profiler app
+(profiler/profiling/VariableBaseMSMProfiling.java:19-47) driving the CUDA
+Pippenger (algebra_msm_VariableBaseMSM.cu:1246-1431).  Prints ONE JSON
+line.  ``vs_baseline`` is measured against 1e6 points/s — a conservative
+estimate for the reference's CGBN Pippenger on its sm_86 target (no
+concrete number is published; see BASELINE.md).
+
+Usage: python bench.py [log2_size] [--prove]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_S = 1.0e6
+
+
+def rand_scalars(n, bits=253, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    limbs = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
+    limbs[15] &= (1 << (bits - 240)) - 1  # keep < 2^bits
+    return jnp.asarray(limbs)
+
+
+def bench_vmsm(log2n: int):
+    import jax
+    from octopuszk_tpu.curves import bn254
+    from octopuszk_tpu.ops import msm
+
+    n = 1 << log2n
+    g1 = bn254.G1
+    # generate n pseudo-random points on device: [k_i] G via fixed-base MSM
+    pts = msm.fixed_base_msm(
+        g1, g1.point_to_device(g1.generator_affine),
+        rand_scalars(n, seed=1))
+    scalars = rand_scalars(n, seed=2)
+    jax.block_until_ready(pts)
+
+    run = lambda: jax.block_until_ready(
+        msm.pippenger_msm(g1, pts, scalars))
+    run()  # warmup/compile
+    iters = 3 if log2n <= 20 else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    pps = n / dt
+    return {
+        "metric": f"vmsm_g1_points_per_s_2^{log2n}",
+        "value": round(pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 3),
+    }
+
+
+def bench_prove(log2c: int):
+    """Secondary: end-to-end Groth16 prove wall time."""
+    from octopuszk_tpu.models.groth16 import prover, setup
+    from octopuszk_tpu.relations import construct
+
+    nc = (1 << log2c) - 3
+    r1cs, primary, aux = construct.serial_construct(nc, 3, seed=5)
+    crs = setup.setup(r1cs, seed=6)
+    prover.prove(crs.proving_key, primary, aux, seed=7)  # warmup/compile
+    t0 = time.perf_counter()
+    prover.prove(crs.proving_key, primary, aux, seed=8)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"groth16_prove_s_2^{log2c}",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    log2n = int(args[0]) if args else 20
+    if "--prove" in sys.argv:
+        print(json.dumps(bench_prove(log2n)))
+    else:
+        print(json.dumps(bench_vmsm(log2n)))

@@ -19,29 +19,50 @@ from octopuszk_tpu.fields.spec import FQ, NUM_LIMBS
 from octopuszk_tpu.utils.bigint import ints_to_limbs, limbs_to_ints
 
 
+def _last_dim(p):
+    c = p[0]
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.shape[-1]
+
+
 class _Group:
     """One device group: ops adapter + host conversions."""
 
     def __init__(self, name, ops, gen_affine, coord_dim, host):
+        import jax
+
         self.name = name
         self.ops = ops
         self.generator_affine = gen_affine
         self.coord_dim = coord_dim  # 1 for Fp (G1), 2 for Fp2 (G2)
         self.host = host            # host_curve function namespace
+        # jitted entry points (the groups are singletons, so these compile
+        # once per shape and hit the persistent cache across processes)
+        self._add = jax.jit(lambda p, q: jac.add(ops, p, q))
+        self._double = jax.jit(lambda p: jac.double(ops, p))
+        self._mixed = jax.jit(lambda p, q, m: jac.mixed_add(ops, p, q, m))
+        self._to_affine = jax.jit(lambda p: jac.to_affine(ops, p))
+        self._tree_reduce = jax.jit(
+            lambda p: jac.tree_reduce(ops, p, _last_dim(p)))
+        self._scalar_mul = jax.jit(
+            lambda p, s: jac.scalar_mul(ops, p, s))
 
-    # -- device-side ops (thin passthroughs) --
+    # -- device-side ops --
 
     def add(self, p, q):
-        return jac.add(self.ops, p, q)
+        return self._add(p, q)
 
     def double(self, p):
-        return jac.double(self.ops, p)
+        return self._double(p)
 
     def negate(self, p):
         return jac.negate(self.ops, p)
 
     def mixed_add(self, p, q_aff, q_inf=None):
-        return jac.mixed_add(self.ops, p, q_aff, q_inf)
+        if q_inf is None:
+            return jac.mixed_add(self.ops, p, q_aff, None)
+        return self._mixed(p, q_aff, q_inf)
 
     def infinity(self, batch_shape=()):
         return jac.infinity(self.ops, batch_shape)
@@ -53,13 +74,15 @@ class _Group:
         return jac.is_infinity(self.ops, p)
 
     def to_affine(self, p):
-        return jac.to_affine(self.ops, p)
+        return self._to_affine(p)
 
     def tree_reduce(self, p, n):
-        return jac.tree_reduce(self.ops, p, n)
+        assert _last_dim(p) == n
+        return self._tree_reduce(p)
 
     def scalar_mul(self, p, scalars_raw, num_bits=254):
-        return jac.scalar_mul(self.ops, p, scalars_raw, num_bits)
+        assert num_bits == 254
+        return self._scalar_mul(p, scalars_raw)
 
     # -- host <-> device --
 

@@ -143,28 +143,30 @@ def mont_mul(spec: FieldSpec, a, b):
 
 
 def _mont_mul_limbs(spec: FieldSpec, ta, tb):
-    p = _const_limbs(spec.p_limbs)
+    """CIOS rounds vectorized over the limb axis: each of the L rounds is
+    ~14 tensor ops on [L, ...] arrays (instead of 16 unrolled scalar rows),
+    keeping compiled graphs small.  Per-limb accumulators stay < 2**23 as
+    in the scalar analysis, so uint32 never overflows."""
+    a = jnp.stack(ta)                              # [L, ...]
+    b = jnp.stack(tb)
+    bshape = (1,) * (a.ndim - 1)
+    p = jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape((L,) + bshape)
     n0inv = U32(spec.n0inv)
-    zero = jnp.zeros_like(ta[0])
-    t = [zero] * (L + 1)
+    t = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
     for i in range(L):
-        ai = ta[i]
-        # t += ai * b   (split 32-bit products into lo/hi 16-bit halves)
-        for j in range(L):
-            prod = ai * tb[j]
-            t[j] = t[j] + (prod & MASK)
-            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
-        # m = t[0] * -p^-1 mod 2**16  (uint32 wraparound keeps mod-2**16 exact)
+        prod = a[i][None] * b                      # [L, ...], exact in u32
+        t = t.at[:L].add(prod & MASK)
+        t = t.at[1:].add(prod >> LIMB_BITS)
+        # m = t[0] * -p^-1 mod 2**16 (u32 wraparound keeps mod-2**16 exact)
         m = (t[0] * n0inv) & MASK
-        # t += m * p
-        for j in range(L):
-            prod = m * p[j]
-            t[j] = t[j] + (prod & MASK)
-            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
-        # t[0] is now divisible by 2**16: shift down one limb
+        prod2 = m[None] * p
+        t = t.at[:L].add(prod2 & MASK)
+        t = t.at[1:].add(prod2 >> LIMB_BITS)
+        # t[0] now divisible by 2**16: shift down one limb
         carry = t[0] >> LIMB_BITS
-        t = [t[1] + carry] + t[2:] + [zero]
-    t, carry_out = _carry_propagate(t[:L])
+        t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
+        t = t.at[0].add(carry)
+    t, carry_out = _carry_propagate([t[j] for j in range(L)])
     # value < 2p < 2**255 so the 17th limb (carry_out) is always 0.
     del carry_out
     return _cond_sub_p(spec, t)
@@ -294,23 +296,21 @@ def from_wide(spec: FieldSpec, wide, out_mont: bool):
     t, carry = _carry_propagate(t)
     t = t + [carry]
     W = len(t)
-    p = _const_limbs(spec.p_limbs)
     n0inv = U32(spec.n0inv)
-    zero = jnp.zeros_like(t[0])
     # REDC passes: each divides by 2**16 mod p and drops one limb of headroom
     k = max(W - 14, 0)
+    tv = jnp.stack(t + [jnp.zeros_like(t[0])])     # [W+1, ...]
+    bshape = (1,) * (tv.ndim - 1)
+    p = jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape((L,) + bshape)
     for _ in range(k):
-        m = (t[0] * n0inv) & MASK
-        for j in range(L):
-            prod = m * p[j]
-            t[j] = t[j] + (prod & MASK)
-            if j + 1 < len(t):
-                t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
-            else:
-                t.append(prod >> LIMB_BITS)
-        carry = t[0] >> LIMB_BITS
-        t = [t[1] + carry] + t[2:]
-    t, carry = _carry_propagate(t)
+        m = (tv[0] * n0inv) & MASK
+        prod = m[None] * p
+        tv = tv.at[:L].add(prod & MASK)
+        tv = tv.at[1:L + 1].add(prod >> LIMB_BITS)
+        carry = tv[0] >> LIMB_BITS
+        tv = jnp.concatenate([tv[1:], jnp.zeros_like(tv[:1])], axis=0)
+        tv = tv.at[0].add(carry)
+    t, carry = _carry_propagate([tv[j] for j in range(W)])
     t = (t + [carry])[:L + 1]
     # value now < 2p: fold the (tiny) 17th limb via one conditional subtract
     hi = t[L] if len(t) > L else zero

@@ -71,15 +71,26 @@ def _stage_indices(n: int, s: int, dif: bool):
 
 
 def _butterfly_loop(spec: FieldSpec, x, tw_table, dif: bool):
-    """Run all log2(n) butterfly stages with a rolled fori_loop."""
+    """Run all log2(n) butterfly stages with a rolled fori_loop.
+
+    ``x``: uint32[L, n] or uint32[L, n, B] (transform along axis 1, B
+    independent trailing batches — the layout of column FFTs in the
+    distributed 4-step algorithm, with B on the TPU lane axis).
+    """
     n = x.shape[1]
     logn = n.bit_length() - 1
+    batched = x.ndim == 3
 
     def body(s, v):
         iA, iB, sign, twk = _stage_indices(n, s, dif)
         a = v[:, iA]
         b = v[:, iB]
         w = tw_table[:, twk]
+        if batched:
+            w = w[..., None]
+            sign_b = sign[None, :, None]
+        else:
+            sign_b = sign[None, :]
         if dif:
             # out(sign=0) = a + b ; out(sign=1) = (a - b) * w
             add_ = fp.add(spec, a, b)
@@ -89,7 +100,7 @@ def _butterfly_loop(spec: FieldSpec, x, tw_table, dif: bool):
             t = fp.mont_mul(spec, b, w)
             add_ = fp.add(spec, a, t)
             sub_ = fp.sub(spec, a, t)
-        return jnp.where(sign[None, :] == 0, add_, sub_)
+        return jnp.where(sign_b == 0, add_, sub_)
 
     return jax.lax.fori_loop(0, logn, body, x)
 
@@ -132,6 +143,34 @@ def intt(spec: FieldSpec, evals):
     n_inv = spec.to_mont(pow(n, -1, spec.p))
     return fp.mont_mul(spec, y, fp.constant(
         np.asarray(int_to_limbs(n_inv, NUM_LIMBS)), ()) [:, None])
+
+
+def powers_batched(spec: FieldSpec, bases, n: int):
+    """bases uint32[L, B] -> uint32[L, n, B] with out[:, i, b] = base_b^i."""
+    assert n & (n - 1) == 0
+    B = bases.shape[1]
+    out = fp.constant(spec.one_mont_limbs, (1, B))
+    cur = bases  # invariant: cur == base^(current length of out)
+    while out.shape[1] < n:
+        shifted = fp.mont_mul(spec, out, cur[:, None, :])
+        out = jnp.concatenate([out, shifted], axis=1)
+        cur = fp.mont_mul(spec, cur, cur)
+    return out
+
+
+def ntt_batched(spec: FieldSpec, x, inverse: bool = False):
+    """Transform along axis 1 of uint32[L, n, B] (B independent columns)."""
+    n = x.shape[1]
+    if n == 1:
+        return x
+    tw = powers(spec, _omega(spec, n, inverse), n // 2)
+    if inverse:
+        y = _butterfly_loop(spec, x[:, _bitrev_perm(n)], tw, dif=False)
+        n_inv = spec.to_mont(pow(n, -1, spec.p))
+        return fp.mont_mul(spec, y, fp.constant(
+            np.asarray(int_to_limbs(n_inv, NUM_LIMBS)), ())[:, None, None])
+    y = _butterfly_loop(spec, x, tw, dif=True)
+    return y[:, _bitrev_perm(n)]
 
 
 @functools.cache
