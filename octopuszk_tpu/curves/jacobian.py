@@ -228,16 +228,31 @@ def normalize_z1(ops, p):
 def tree_reduce(ops, p, axis_size: int):
     """Sum a batch of points along the last batch axis -> single point.
 
-    log2(n) rounds of pairwise adds; n must be the (power-of-two padded)
-    static size of the final batch dim.  TPU-native replacement for the
-    reference's Spark `reduce(GroupT::add)` (VariableBaseMSM.java:779-786).
+    Hillis-Steele suffix folding under one fori_loop (constant shapes, one
+    small compiled graph): level l adds element j + 2^l into element j, so
+    element 0 accumulates the total after ceil(log2 n) levels.  TPU-native
+    replacement for Spark `reduce(GroupT::add)`
+    (VariableBaseMSM.java:779-786).
     """
+    import jax
+
     n = axis_size
-    assert n & (n - 1) == 0, "pad batch to a power of two with infinity"
-    while n > 1:
-        n //= 2
-        p = _fold_halves(ops, p, n)
-    return _index_last(p, 0)
+    if n == 1:
+        return _index_last(p, 0)
+    levels = (n - 1).bit_length()
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inf = infinity(ops, (n,))
+
+    def body(l, q):
+        d = jnp.left_shift(jnp.int32(1), l)
+        idx = jnp.minimum(iota + d, n - 1)
+        shifted = _map_coords(q, lambda c: c[..., idx])
+        valid = iota + d < n
+        shifted = select_point(ops, valid, shifted, inf)
+        return add(ops, q, shifted)
+
+    out = jax.lax.fori_loop(0, levels, body, p)
+    return _index_last(out, 0)
 
 
 def _map_coords(point, fn):

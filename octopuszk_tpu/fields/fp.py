@@ -5,18 +5,22 @@ Representation
 A batch of field elements is a ``uint32[L, ...]`` array: L = 16 little-endian
 limbs of 16 bits each (axis 0), arbitrary batch shape after that.  Putting the
 limb axis first keeps the batch axis minor-most, so XLA tiles it onto the
-TPU's 128-wide vector lanes; all carry chains run across *rows* (sublanes)
-and every op below is a pure elementwise dataflow graph that XLA fuses.
+TPU's 128-wide vector lanes.
 
 Elements are kept in **Montgomery form** (a*R mod p, R = 2**256) in canonical
-range [0, p) with every limb < 2**16.  Multiplication is a lazy-carry CIOS:
-limb products of 16-bit operands are exact in uint32, and per-limb
-accumulators stay below 2**23 over the 16 rounds, so no 64-bit arithmetic is
-ever needed — this is the TPU-native replacement for the reference's CGBN
-`cgbn_mul` + `cgbn_rem` device math (algebra_msm_FixedBaseMSM.cu:36-78).
+range [0, p) with every limb < 2**16.  Multiplication is CIOS with 16-bit
+limb products exact in uint32 — the TPU-native replacement for the
+reference's CGBN ``cgbn_mul`` + ``cgbn_rem`` device math
+(algebra_msm_FixedBaseMSM.cu:36-78).
 
-All functions are shape-polymorphic in the batch dims and jit/vmap/shard_map
-friendly; the FieldSpec is closed over statically.
+Graph-size discipline: carry/borrow chains use a Kogge-Stone parallel
+prefix over the limb axis (4 steps, no 16-deep serial chain), and the CIOS
+rounds run under ``lax.fori_loop`` — every public op compiles to a small
+constant-size graph regardless of batch shape, which keeps XLA compile
+times sane for the large compositions in the curve/MSM/NTT layers.
+
+All functions are shape-polymorphic in the batch dims and jit/vmap/
+shard_map friendly; the FieldSpec is closed over statically.
 """
 
 from __future__ import annotations
@@ -30,14 +34,8 @@ from octopuszk_tpu.fields.spec import FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS
 L = NUM_LIMBS
 MASK = jnp.uint32(LIMB_MASK)
 U32 = jnp.uint32
-
-
-def _unstack(x):
-    return [x[i] for i in range(x.shape[0])]
-
-
-def _const_limbs(npvec) -> list:
-    return [U32(int(v)) for v in npvec]
+ONE = jnp.uint32(1)
+ZERO = jnp.uint32(0)
 
 
 def zeros_like_batch(batch_shape) -> jnp.ndarray:
@@ -51,81 +49,100 @@ def constant(spec_limbs: np.ndarray, batch_shape=()) -> jnp.ndarray:
                             (L,) + tuple(batch_shape))
 
 
+def _p_col(spec: FieldSpec, ref) -> jnp.ndarray:
+    """Modulus limbs shaped [L, 1, ...] to broadcast against ref [L, ...]."""
+    return jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape(
+        (L,) + (1,) * (ref.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Kogge-Stone carry / borrow propagation over the limb axis
+# ---------------------------------------------------------------------------
+
+def _shift_down(x, d, fill):
+    """Shift limb axis towards higher indices by d, filling with `fill`."""
+    pad = jnp.full((d,) + x.shape[1:], fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _ks_carry_in(g, p):
+    """Carry into each limb given per-limb generate g and propagate p.
+
+    g, p: uint32[W, ...] in {0,1}.  Returns uint32[W, ...] c with
+    c[j] = carry out of limbs [0..j-1] rippled into j (c[0] = 0).
+    Kogge-Stone inclusive scan of (g, p) then shift down by one.
+    """
+    W = g.shape[0]
+    d = 1
+    while d < W:
+        gs = _shift_down(g, d, ZERO)
+        ps = _shift_down(p, d, ONE)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    return _shift_down(g, 1, ZERO)
+
+
+def _resolve_add(s):
+    """Normalize limb sums s[j] < 2**17 - 1 to 16-bit with KS carries.
+
+    Returns (limbs, carry_out) where carry_out is uint32[...] in {0,1}.
+    """
+    g = s >> LIMB_BITS                      # generate: sum >= 2**16
+    p = ((s & MASK) == MASK).astype(U32)    # propagate: low part == 0xffff
+    c = _ks_carry_in(g, p)
+    out = (s + c) & MASK
+    top = s[-1] + c[-1]
+    return out, top >> LIMB_BITS
+
+
+def _resolve_sub(d):
+    """Normalize limb diffs d[j] = a_j + 2**16 - b_j (in [1, 2**17-1])
+    to 16-bit with KS borrows.  Returns (limbs, borrow_out in {0,1})."""
+    g = (ONE - (d >> LIMB_BITS))            # borrow generate: d < 2**16
+    p = ((d & MASK) == ZERO).astype(U32)    # propagate: d == 2**16 exactly
+    b = _ks_carry_in(g, p)
+    out = (d - b) & MASK
+    top = d[-1] - b[-1]
+    return out, ONE - (top >> LIMB_BITS)
+
+
+def _cond_sub_p(spec: FieldSpec, t, extra_ge=None):
+    """If value(t) >= p subtract p; t is [L, ...] canonical 16-bit limbs."""
+    p = _p_col(spec, t)
+    d, borrow = _resolve_sub(t + (ONE << LIMB_BITS) - p)
+    ge = borrow == ZERO
+    if extra_ge is not None:
+        ge = jnp.logical_or(ge, extra_ge)
+    return jnp.where(ge, d, t)
+
+
 # ---------------------------------------------------------------------------
 # add / sub / neg
 # ---------------------------------------------------------------------------
 
-def _carry_propagate(t):
-    """Normalize list of limb accumulators (< 2**31 each) to 16-bit limbs.
-
-    Returns (normalized list, carry_out).
-    """
-    out = []
-    c = None
-    for j in range(len(t)):
-        s = t[j] if c is None else t[j] + c
-        out.append(s & MASK)
-        c = s >> LIMB_BITS
-    return out, c
-
-
-def _cond_sub_p(spec: FieldSpec, t, extra_ge=None):
-    """If value(t) >= p subtract p; t is L normalized limbs. extra_ge forces."""
-    p = _const_limbs(spec.p_limbs)
-    d = []
-    bor = U32(0)
-    for j in range(L):
-        x = t[j] + U32(1 << LIMB_BITS) - p[j] - bor
-        d.append(x & MASK)
-        bor = U32(1) - (x >> LIMB_BITS)
-    ge = bor == U32(0)
-    if extra_ge is not None:
-        ge = jnp.logical_or(ge, extra_ge)
-    return [jnp.where(ge, d[j], t[j]) for j in range(L)]
-
-
 def add(spec: FieldSpec, a, b):
     """(a + b) mod p, canonical in/out."""
-    ta, tb = _unstack(a), _unstack(b)
-    t, carry = _carry_propagate([ta[j] + tb[j] for j in range(L)])
+    s, carry = _resolve_add(a + b)
     # a, b < p < 2**254 so sum < 2**255: carry is always 0.
     del carry
-    return jnp.stack(_cond_sub_p(spec, t))
+    return _cond_sub_p(spec, s)
 
 
 def sub(spec: FieldSpec, a, b):
     """(a - b) mod p, canonical in/out."""
-    ta, tb = _unstack(a), _unstack(b)
-    d = []
-    bor = U32(0)
-    for j in range(L):
-        x = ta[j] + U32(1 << LIMB_BITS) - tb[j] - bor
-        d.append(x & MASK)
-        bor = U32(1) - (x >> LIMB_BITS)
-    # if borrow-out, add p back
-    p = _const_limbs(spec.p_limbs)
-    e = []
-    c = U32(0)
-    for j in range(L):
-        s = d[j] + p[j] + c
-        e.append(s & MASK)
-        c = s >> LIMB_BITS
-    neg_flag = bor != U32(0)
-    return jnp.stack([jnp.where(neg_flag, e[j], d[j]) for j in range(L)])
+    d, borrow = _resolve_sub(a + (ONE << LIMB_BITS) - b)
+    # if borrowed, add p back
+    p = _p_col(spec, d)
+    e, _ = _resolve_add(d + p)
+    return jnp.where(borrow != ZERO, e, d)
 
 
 def neg(spec: FieldSpec, a):
     """(-a) mod p."""
-    ta = _unstack(a)
-    p = _const_limbs(spec.p_limbs)
-    d = []
-    bor = U32(0)
-    for j in range(L):
-        x = p[j] + U32(1 << LIMB_BITS) - ta[j] - bor
-        d.append(x & MASK)
-        bor = U32(1) - (x >> LIMB_BITS)
-    z = is_zero(a)
-    return jnp.stack([jnp.where(z, U32(0), d[j]) for j in range(L)])
+    p = _p_col(spec, a)
+    d, _ = _resolve_sub(p + (ONE << LIMB_BITS) - a)
+    return jnp.where(is_zero(a), jnp.zeros_like(a), d)
 
 
 def double(spec: FieldSpec, a):
@@ -133,43 +150,50 @@ def double(spec: FieldSpec, a):
 
 
 # ---------------------------------------------------------------------------
-# Montgomery multiplication (lazy-carry CIOS)
+# Montgomery multiplication (CIOS, rolled over rounds)
 # ---------------------------------------------------------------------------
 
 def mont_mul(spec: FieldSpec, a, b):
-    """(a * b * R^-1) mod p. Inputs/outputs canonical Montgomery-form limbs."""
-    ta, tb = _unstack(a), _unstack(b)
-    return jnp.stack(_mont_mul_limbs(spec, ta, tb))
+    """(a * b * R^-1) mod p. Inputs/outputs canonical Montgomery-form limbs.
 
-
-def _mont_mul_limbs(spec: FieldSpec, ta, tb):
-    """CIOS rounds vectorized over the limb axis: each of the L rounds is
-    ~14 tensor ops on [L, ...] arrays (instead of 16 unrolled scalar rows),
-    keeping compiled graphs small.  Per-limb accumulators stay < 2**23 as
-    in the scalar analysis, so uint32 never overflows."""
-    a = jnp.stack(ta)                              # [L, ...]
-    b = jnp.stack(tb)
-    bshape = (1,) * (a.ndim - 1)
-    p = jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape((L,) + bshape)
+    Per-limb accumulators stay < 2**23 over the 16 rounds (sums of two
+    16x16-bit product halves per round plus a < 2**7 shift carry), so
+    uint32 never overflows and no 64-bit math is needed.
+    """
+    a, b = jnp.broadcast_arrays(a, b)
+    p = _p_col(spec, a)
     n0inv = U32(spec.n0inv)
-    t = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
-    for i in range(L):
+    t0 = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
+
+    def round_(i, t):
         prod = a[i][None] * b                      # [L, ...], exact in u32
         t = t.at[:L].add(prod & MASK)
         t = t.at[1:].add(prod >> LIMB_BITS)
-        # m = t[0] * -p^-1 mod 2**16 (u32 wraparound keeps mod-2**16 exact)
         m = (t[0] * n0inv) & MASK
         prod2 = m[None] * p
         t = t.at[:L].add(prod2 & MASK)
         t = t.at[1:].add(prod2 >> LIMB_BITS)
-        # t[0] now divisible by 2**16: shift down one limb
         carry = t[0] >> LIMB_BITS
         t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-        t = t.at[0].add(carry)
-    t, carry_out = _carry_propagate([t[j] for j in range(L)])
-    # value < 2p < 2**255 so the 17th limb (carry_out) is always 0.
-    del carry_out
-    return _cond_sub_p(spec, t)
+        return t.at[0].add(carry)
+
+    t = jax.lax.fori_loop(0, L, round_, t0)
+    # t[:L] limbs < 2**23; t[L] < 2**7. Resolve carries then reduce.
+    s, carry = _resolve_wide(t)
+    del carry  # value < 2p < 2**255: 17th limb is in s[-1], handled below
+    return _cond_sub_p(spec, s[:L], extra_ge=s[L] != ZERO)
+
+
+def _resolve_wide(t):
+    """Carry-normalize limbs t[j] < 2**31 to 16-bit (KS with multi-bit
+    carries): first fold high parts downward once, then KS on {0,1}."""
+    lo = t & MASK
+    hi = t >> LIMB_BITS                      # < 2**15
+    s = lo + _shift_down(hi, 1, ZERO)        # < 2**17 - 1
+    out, carry = _resolve_add(s)
+    # the top hi limb would spill past the array; callers size t so that
+    # t[-1] >> 16 == 0 (documented invariant).
+    return out, carry
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -183,7 +207,7 @@ def to_mont(spec: FieldSpec, x):
 
 def from_mont(spec: FieldSpec, a):
     """Montgomery form -> raw residue (multiply by 1)."""
-    one = jnp.zeros_like(a).at[0].set(U32(1))
+    one = jnp.zeros_like(a).at[0].set(ONE)
     return mont_mul(spec, a, one)
 
 
@@ -192,19 +216,11 @@ def from_mont(spec: FieldSpec, a):
 # ---------------------------------------------------------------------------
 
 def is_zero(a):
-    t = _unstack(a)
-    acc = t[0]
-    for j in range(1, L):
-        acc = acc | t[j]
-    return acc == U32(0)
+    return jnp.all(a == ZERO, axis=0)
 
 
 def eq(a, b):
-    ta, tb = _unstack(a), _unstack(b)
-    acc = ta[0] ^ tb[0]
-    for j in range(1, L):
-        acc = acc | (ta[j] ^ tb[j])
-    return acc == U32(0)
+    return jnp.all(a == b, axis=0)
 
 
 def select(mask, a, b):
@@ -213,15 +229,11 @@ def select(mask, a, b):
 
 
 # ---------------------------------------------------------------------------
-# inversion
+# inversion / exponentiation
 # ---------------------------------------------------------------------------
 
 def pow_const(spec: FieldSpec, a, e: int):
-    """a**e for a host-known exponent, as a rolled fori_loop (MSB-first).
-
-    One square + one (selected) multiply per exponent bit — small compiled
-    graph, intended for moderate batch sizes.
-    """
+    """a**e for a host-known exponent, as a rolled fori_loop (MSB-first)."""
     bits = bin(e)[2:]
     nbits = len(bits)
     bitvec = jnp.asarray(np.array([int(c) for c in bits], dtype=np.uint32))
@@ -230,7 +242,7 @@ def pow_const(spec: FieldSpec, a, e: int):
     def body(i, acc):
         acc = mont_sqr(spec, acc)
         with_mul = mont_mul(spec, acc, a)
-        return jnp.where(bitvec[i] == U32(1), with_mul, acc)
+        return jnp.where(bitvec[i] == ONE, with_mul, acc)
 
     return jax.lax.fori_loop(0, nbits, body, one)
 
@@ -241,36 +253,49 @@ def inv(spec: FieldSpec, a):
 
 
 def batch_inv(spec: FieldSpec, a, axis: int = 1):
-    """Elementwise inverse of a batch via parallel prefix/suffix products.
-
-    Cost ~ 2 associative scans (O(n log n) muls, log-depth) + one Fermat
-    inversion of the total product.  All inputs must be nonzero.
-    Replaces the reference's sequential Montgomery-trick loops.
-    """
-    def mul_fn(x, y):
-        return mont_mul(spec, x, y)
-
-    incl = jax.lax.associative_scan(mul_fn, a, axis=axis)          # prefix incl
-    sufx = jax.lax.associative_scan(mul_fn, a, axis=axis, reverse=True)
+    """Elementwise inverse of a batch via Hillis-Steele prefix/suffix
+    products + one Fermat inversion.  All inputs must be nonzero.
+    Replaces the reference's sequential Montgomery-trick loops."""
     n = a.shape[axis]
-    one = constant(spec.one_mont_limbs, ())
-    # exclusive prefix: shift right along `axis`
-    def shift(x, rev):
-        pad = [(0, 0)] * x.ndim
-        sl = [slice(None)] * x.ndim
-        if rev:
-            pad[axis] = (0, 1)
-            sl[axis] = slice(1, None)
-        else:
-            pad[axis] = (1, 0)
-            sl[axis] = slice(0, n - 1)
-        shape = list(x.shape)
-        shape[axis] = 1
-        filler = jnp.broadcast_to(one.reshape((L,) + (1,) * (x.ndim - 1)), shape)
-        return jax.lax.concatenate(
-            [filler, x[tuple(sl)]] if not rev else [x[tuple(sl)], filler], axis)
-    excl_pre = shift(incl, rev=False)
-    excl_suf = shift(sufx, rev=True)
+    one_col = constant(spec.one_mont_limbs, ())
+
+    def scan_products(x, reverse):
+        steps = max(0, (n - 1)).bit_length()
+
+        def body(i, acc):
+            d = 1 << i
+            pad_shape = list(acc.shape)
+            pad_shape[axis] = min(d, n)
+            fill = jnp.broadcast_to(
+                one_col.reshape((L,) + (1,) * (acc.ndim - 1)), pad_shape)
+            idx = [slice(None)] * acc.ndim
+            idx[axis] = slice(None, n - d) if not reverse else slice(d, None)
+            sl = acc[tuple(idx)]
+            shifted = jnp.concatenate(
+                [fill, sl] if not reverse else [sl, fill], axis=axis)
+            return mont_mul(spec, acc, shifted)
+
+        acc = x
+        for i in range(steps):       # log n python loop, tiny body count
+            acc = body(i, acc)
+        return acc
+
+    incl = scan_products(a, reverse=False)
+    sufx = scan_products(a, reverse=True)
+
+    def shiftx(x, rev):
+        pad_shape = list(x.shape)
+        pad_shape[axis] = 1
+        fill = jnp.broadcast_to(
+            one_col.reshape((L,) + (1,) * (x.ndim - 1)), pad_shape)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, n - 1) if not rev else slice(1, None)
+        sl = x[tuple(idx)]
+        return jnp.concatenate([fill, sl] if not rev else [sl, fill],
+                               axis=axis)
+
+    excl_pre = shiftx(incl, rev=False)
+    excl_suf = shiftx(sufx, rev=True)
     total = jax.lax.index_in_dim(incl, n - 1, axis=axis, keepdims=True)
     inv_total = inv(spec, total)
     out = mont_mul(spec, excl_pre, excl_suf)
@@ -282,39 +307,43 @@ def batch_inv(spec: FieldSpec, a, axis: int = 1):
 # ---------------------------------------------------------------------------
 
 def from_wide(spec: FieldSpec, wide, out_mont: bool):
-    """Reduce uint32[W, ...] (W >= L, limbs < 2**28) to canonical 16 limbs.
+    """Reduce uint32[W, ...] (W >= L, limbs < 2**31) to canonical 16 limbs.
 
     Interprets the input as a little-endian base-2**16 integer X (limbs may
-    exceed 16 bits up to 2**28 — e.g. raw segment sums).  Returns X mod p,
-    either as a raw residue (out_mont=False) or re-scaled into Montgomery
-    form (out_mont=True, for when X was itself a sum of Montgomery values).
-
-    Used for: uniform sampling from 512 random bits, and normalizing sparse
-    matvec accumulations (the role of reduceByKey in R1CStoQAPRDD.java).
+    exceed 16 bits — e.g. raw segment sums).  Returns X mod p, either as a
+    raw residue (out_mont=False) or re-scaled into Montgomery form
+    (out_mont=True, for when X was itself a sum of Montgomery values).
     """
-    t = _unstack(wide)
-    t, carry = _carry_propagate(t)
-    t = t + [carry]
-    W = len(t)
+    W = wide.shape[0]
+    # fold multi-bit carries: limbs < 2**31 -> hi < 2**15 folded upward
+    lo = wide & MASK
+    hi = wide >> LIMB_BITS
+    t = jnp.concatenate([lo, jnp.zeros((1,) + wide.shape[1:], jnp.uint32)],
+                        axis=0)
+    t = t.at[1:].add(hi)                     # limbs < 2**17 - 1
+    s, carry = _resolve_add(t)
+    del carry                                # t sized with headroom above
+    W1 = W + 1
+    t = jnp.concatenate(
+        [s, jnp.zeros((1,) + wide.shape[1:], jnp.uint32)], axis=0)
     n0inv = U32(spec.n0inv)
-    # REDC passes: each divides by 2**16 mod p and drops one limb of headroom
-    k = max(W - 14, 0)
-    tv = jnp.stack(t + [jnp.zeros_like(t[0])])     # [W+1, ...]
-    bshape = (1,) * (tv.ndim - 1)
-    p = jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape((L,) + bshape)
-    for _ in range(k):
-        m = (tv[0] * n0inv) & MASK
-        prod = m[None] * p
-        tv = tv.at[:L].add(prod & MASK)
-        tv = tv.at[1:L + 1].add(prod >> LIMB_BITS)
-        carry = tv[0] >> LIMB_BITS
-        tv = jnp.concatenate([tv[1:], jnp.zeros_like(tv[:1])], axis=0)
-        tv = tv.at[0].add(carry)
-    t, carry = _carry_propagate([tv[j] for j in range(W)])
-    t = (t + [carry])[:L + 1]
-    # value now < 2p: fold the (tiny) 17th limb via one conditional subtract
-    hi = t[L] if len(t) > L else zero
-    res = _cond_sub_p(spec, t[:L], extra_ge=hi != U32(0))
+    p = _p_col(spec, t)
+    k = max(W1 - 14, 0)
+
+    def redc(i, t):
+        m = (t[0] * n0inv) & MASK
+        prod = m[None] * p                  # [L, ...]
+        t = t.at[:L].add(prod & MASK)
+        t = t.at[1:L + 1].add(prod >> LIMB_BITS)
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
+        return t.at[0].add(carry)
+
+    t = jax.lax.fori_loop(0, k, redc, t)
+    s, carry = _resolve_wide(t[:W1])
+    del carry
+    s = s[:L + 1]
+    res = _cond_sub_p(spec, s[:L], extra_ge=s[L] != ZERO)
     # correct the 2**(-16k) scale factor introduced by the extra passes
     fix = constant(spec.wide_fixup_limbs(k, out_mont), wide.shape[1:])
-    return mont_mul(spec, jnp.stack(res), fix)
+    return mont_mul(spec, res, fix)

@@ -106,32 +106,30 @@ def _digits(scalars_raw, c: int, num_win: int):
 def _window_table(group, base_point, w: int, outerc: int):
     """Multiples table: T[win][d] = [d * 2^(w*win)] G, shape [outerc, 2^w].
 
-    Built windows-sequentially; within a window the 2^w multiples come from
-    log-depth doubling of the prefix (M_{2m} = [M_m, M_m + [m]G_win]).
-    Replaces the reference's GPU table build (getWindowTableG1,
-    algebra_msm_FixedBaseMSM.cu:851-995).
+    One lax.scan over windows; inside, a rolled fori over the w bits adds
+    [2^b]G_win into every table slot whose digit has bit b set — constant
+    shapes, one small compiled graph.  Replaces the reference's GPU table
+    build (getWindowTableG1, algebra_msm_FixedBaseMSM.cu:851-995).
     """
-    tables = []
-    g = base_point  # [m]G_win running generator, single point (no batch)
-    for win in range(outerc):
-        row = _map_coords(group.infinity((1,)), lambda c: c)
-        gm = _map_coords(g, lambda c: c[..., None])  # [*,1]
-        m = 1
-        while m < (1 << w):
-            shifted = group.add(row, _bc_like(gm, row))
-            row = _concat_points(row, shifted)
-            gm = group.double(gm)
-            m *= 2
-        tables.append(row)
-        g = _map_coords(gm, lambda c: c[..., 0])  # g * 2^w
-    # stack: [outerc, 2^w] on a new leading batch axis after limbs:
-    # coords become [L, outerc, 2^w]
-    return tuple(
-        tuple(jnp.stack([t[i][j] for t in tables], axis=-2)
-              for j in range(len(tables[0][i])))
-        if isinstance(tables[0][i], tuple)
-        else jnp.stack([t[i] for t in tables], axis=-2)
-        for i in range(3))
+    B = 1 << w
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+
+    def window(g, _):
+        # g: running [2^(w*win)] G, single point
+        def bit_step(b, carry):
+            row, gb = carry
+            has_bit = ((iota >> b) & 1) == 1
+            gb_b = _bc_like(_map_coords(gb, lambda c: c[..., None]), row)
+            row = group.select(has_bit, group.add(row, gb_b), row)
+            return (row, group.double(gb))
+
+        row, g_next = jax.lax.fori_loop(
+            0, w, bit_step, (group.infinity((B,)), g))
+        return g_next, row
+
+    _, rows = jax.lax.scan(window, base_point, None, length=outerc)
+    # rows coords: [outerc, L, B] -> [L, outerc, B]
+    return _map_coords(rows, lambda c: jnp.moveaxis(c, 0, 1))
 
 
 def _bc_like(single, batch):
@@ -269,9 +267,8 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
 
     prefix_within = _map_coords(prefix_rows, from_rows)
 
-    # exclusive prefix of lane totals across lanes
-    incl = jax.lax.associative_scan(
-        lambda x, y: group.add(x, y), lane_totals, axis=-1)
+    # exclusive prefix of lane totals across lanes (Hillis-Steele, rolled)
+    incl = _hs_prefix(group, lane_totals, lanes)
     excl = _shift_right_inf(group, incl, lanes)
 
     # segment-end positions: e_b = (# elements with id <= b) - 1
@@ -294,10 +291,44 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
     S = group.select(is_b0, group.infinity((B,)), S)
 
     # weighted reduction: T = sum_b b * S_b = sum of suffix sums R_b (b>=1)
-    R = jax.lax.associative_scan(
-        lambda x, y: group.add(x, y), S, axis=-1, reverse=True)
+    R = _hs_suffix(group, S, B)
     R = group.select(is_b0, group.infinity((B,)), R)
     return group.tree_reduce(R, B)
+
+
+def _hs_prefix(group, p, n: int):
+    """Inclusive EC prefix sums along the last axis (Hillis-Steele under
+    one fori_loop: level l adds element j - 2^l into element j)."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inf = group.infinity((n,))
+
+    def body(l, q):
+        d = jnp.left_shift(jnp.int32(1), l)
+        idx = jnp.maximum(iota - d, 0)
+        shifted = _map_coords(q, lambda c: c[..., idx])
+        valid = iota - d >= 0
+        shifted = jac.select_point(group.ops, valid, shifted, inf)
+        return jac.add(group.ops, q, shifted)
+
+    levels = (n - 1).bit_length()
+    return jax.lax.fori_loop(0, levels, body, p)
+
+
+def _hs_suffix(group, p, n: int):
+    """Inclusive EC suffix sums along the last axis."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inf = group.infinity((n,))
+
+    def body(l, q):
+        d = jnp.left_shift(jnp.int32(1), l)
+        idx = jnp.minimum(iota + d, n - 1)
+        shifted = _map_coords(q, lambda c: c[..., idx])
+        valid = iota + d < n
+        shifted = jac.select_point(group.ops, valid, shifted, inf)
+        return jac.add(group.ops, q, shifted)
+
+    levels = (n - 1).bit_length()
+    return jax.lax.fori_loop(0, levels, body, p)
 
 
 def _shift_right_inf(group, p, width):

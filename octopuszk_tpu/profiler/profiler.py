@@ -1,0 +1,169 @@
+"""Profiler CLI: per-kernel and end-to-end size sweeps.
+
+Reference parity: profiler/Profiler.java:111-246 and the drivers in
+profiler/profiling/ — app names and the serial/distributed arg shapes are
+kept: serial ``python -m octopuszk_tpu.profiler <app> <log2size>``,
+distributed ``python -m octopuszk_tpu.profiler <ndev> <app> <log2size>``.
+Apps: fft, lagrange, fmsm-g1, fmsm-g2, vmsm-g1, vmsm-g2, relation,
+witness, zksnark, bace.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octopuszk_tpu.utils.config import Config
+
+
+def _rand_scalars(n, seed=0):
+    rng = np.random.default_rng(seed)
+    limbs = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
+    limbs[15] &= (1 << 13) - 1
+    return jnp.asarray(limbs)
+
+
+def _rand_points(group, n, seed=1):
+    from octopuszk_tpu.ops import msm
+    return msm.fixed_base_msm(
+        group, group.point_to_device(group.generator_affine),
+        _rand_scalars(n, seed))
+
+
+def _timed(config, name, fn, size):
+    fn()  # warmup / compile
+    config.begin_runtime(name)
+    jax.block_until_ready(fn())
+    dt = config.end_runtime(name)
+    print(f"{name} size=2^{size.bit_length()-1}: {dt:.4f}s", flush=True)
+    return dt
+
+
+def profile_fft(config, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.ops import ntt
+    x = _rand_scalars(n)
+    _timed(config, "serial-fft", lambda: ntt.ntt(FR, x), n)
+    _timed(config, "serial-ifft", lambda: ntt.intt(FR, x), n)
+
+
+def profile_lagrange(config, n):
+    from octopuszk_tpu.fields.spec import FR, NUM_LIMBS
+    from octopuszk_tpu.ops import ntt
+    from octopuszk_tpu.utils.bigint import int_to_limbs
+    t = jnp.asarray(int_to_limbs(FR.to_mont(12345678), NUM_LIMBS))
+    _timed(config, "lagrange", lambda: ntt.lagrange_coeffs(FR, n, t), n)
+
+
+def profile_fmsm(config, n, which):
+    from octopuszk_tpu.curves import bn254
+    from octopuszk_tpu.ops import msm
+    grp = bn254.G1 if which == "g1" else bn254.G2
+    base = grp.point_to_device(grp.generator_affine)
+    s = _rand_scalars(n)
+    _timed(config, f"fixed-msm-{which}",
+           lambda: msm.fixed_base_msm(grp, base, s), n)
+
+
+def profile_vmsm(config, n, which):
+    from octopuszk_tpu.curves import bn254
+    from octopuszk_tpu.ops import msm
+    grp = bn254.G1 if which == "g1" else bn254.G2
+    pts = _rand_points(grp, n)
+    s = _rand_scalars(n, seed=2)
+    dt = _timed(config, f"var-msm-{which}",
+                lambda: msm.pippenger_msm(grp, pts, s), n)
+    print(f"throughput: {n / dt:.0f} points/s", flush=True)
+
+
+def profile_relation(config, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.reductions.r1cs_to_qap import qap_instance
+    from octopuszk_tpu.relations import construct
+    r1cs, _, _ = construct.serial_construct(n - 3, 3)
+    _timed(config, "qap-relation",
+           lambda: qap_instance(FR, r1cs, 987654321), n)
+
+
+def profile_witness(config, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.reductions.r1cs_to_qap import domain_size, qap_witness
+    from octopuszk_tpu.relations import construct
+    from octopuszk_tpu.relations.r1cs import assignment_to_device
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3)
+    z = assignment_to_device(FR, primary + aux)
+    dom = domain_size(r1cs)
+    _timed(config, "qap-witness",
+           lambda: qap_witness(FR, r1cs, dom, z), n)
+
+
+def profile_zksnark(config, n):
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    from octopuszk_tpu.relations import construct
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3)
+    config.begin_runtime("setup")
+    crs = setup.setup(r1cs, seed=config.seed)
+    print(f"setup: {config.end_runtime('setup'):.3f}s", flush=True)
+    prover.prove(crs.proving_key, primary, aux)  # warmup
+    config.begin_runtime("prove")
+    proof = prover.prove(crs.proving_key, primary, aux)
+    print(f"prove: {config.end_runtime('prove'):.3f}s", flush=True)
+    config.begin_runtime("verify")
+    ok = verifier.verify(crs.verification_key, primary, proof)
+    print(f"verify: {config.end_runtime('verify'):.3f}s ok={ok}", flush=True)
+    assert ok
+
+
+def profile_bace(config, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.models.bace import prover as bprover, verifier as bverifier
+    from octopuszk_tpu.models.bace.circuit import (
+        Circuit, InputGate, ProductGate, SumGate)
+    c = Circuit(2, ProductGate(SumGate(InputGate(0), InputGate(1)),
+                               InputGate(0)))
+    inputs = _rand_scalars(2 * n)
+    _timed(config, "bace-prove",
+           lambda: bprover.compute_proof(FR, c, inputs, n), n)
+
+
+APPS = {
+    "fft": profile_fft,
+    "lagrange": profile_lagrange,
+    "fmsm-g1": lambda c, n: profile_fmsm(c, n, "g1"),
+    "fmsm-g2": lambda c, n: profile_fmsm(c, n, "g2"),
+    "vmsm-g1": lambda c, n: profile_vmsm(c, n, "g1"),
+    "vmsm-g2": lambda c, n: profile_vmsm(c, n, "g2"),
+    "relation": profile_relation,
+    "witness": profile_witness,
+    "zksnark": profile_zksnark,
+    "bace": profile_bace,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) == 2:
+        app, log2 = argv[0].lower(), int(argv[1])
+        config = Config()
+    elif len(argv) == 3:
+        ndev, app, log2 = int(argv[0]), argv[1].lower(), int(argv[2])
+        config = Config(num_devices=ndev, num_partitions=ndev)
+    else:
+        print("Args: [numDevices] {app} {size (log2)}  "
+              f"apps: {', '.join(APPS)}")
+        return 1
+    if app not in APPS:
+        print(f"unknown app {app}; apps: {', '.join(APPS)}")
+        return 1
+    n = 1 << log2
+    APPS[app](config, n)
+    config.write_runtime_log(app, n)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

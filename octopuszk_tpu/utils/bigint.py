@@ -42,16 +42,18 @@ def limbs_to_int(limbs) -> int:
 
 def ints_to_limbs(xs, num_limbs: int) -> np.ndarray:
     """List of n python ints -> uint32[num_limbs, n] (limb-major layout)."""
+    from octopuszk_tpu.utils import native
+
     n = len(xs)
-    out = np.zeros((num_limbs, n), dtype=np.uint32)
-    # vectorized: each int -> fixed-width little-endian bytes -> uint16 view
     nbytes = num_limbs * 2
     buf = bytearray(n * nbytes)
     for j, x in enumerate(xs):
         buf[j * nbytes:(j + 1) * nbytes] = int(x).to_bytes(nbytes, "little")
+    got = native.bytes_to_limbs(bytes(buf), n, nbytes, num_limbs)
+    if got is not None:
+        return got
     arr = np.frombuffer(bytes(buf), dtype="<u2").reshape(n, num_limbs)
-    out[:, :] = arr.T.astype(np.uint32)
-    return out
+    return arr.T.astype(np.uint32)
 
 
 def limbs_to_ints(limbs) -> list:
