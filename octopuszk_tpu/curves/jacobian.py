@@ -31,6 +31,7 @@ def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
     """Coordinate-field adapter for a base prime field (G1)."""
     return types.SimpleNamespace(
         spec=spec,
+        group_name="G1",
         add=lambda a, b: fp.add(spec, a, b),
         sub=lambda a, b: fp.sub(spec, a, b),
         mul=lambda a, b: fp.mont_mul(spec, a, b),
@@ -50,6 +51,7 @@ def make_fp2_ops(spec: FieldSpec) -> types.SimpleNamespace:
     """Coordinate-field adapter for Fp2 (G2)."""
     return types.SimpleNamespace(
         spec=spec,
+        group_name="G2",
         add=lambda a, b: fp2.add(spec, a, b),
         sub=lambda a, b: fp2.sub(spec, a, b),
         mul=lambda a, b: fp2.mul(spec, a, b),
@@ -93,8 +95,35 @@ def negate(ops, p):
 # double / add
 # ---------------------------------------------------------------------------
 
+def _same_batch(p, q):
+    a, b = p[0], q[0]
+    while isinstance(a, tuple):
+        a = a[0]
+    while isinstance(b, tuple):
+        b = b[0]
+    return a.shape == b.shape
+
+
+def _pallas_eligible(ops, p):
+    """Use the fused Pallas kernel? (TPU backend, flat [L, n] batch, not
+    already tracing inside a kernel.)"""
+    from octopuszk_tpu.fields import fp as _fp
+    if _fp.UNROLL:
+        return False
+    c = p[0]
+    while isinstance(c, tuple):
+        c = c[0]
+    if c.ndim != 2 or c.shape[1] < 256:
+        return False
+    from octopuszk_tpu.ops import pallas_ops
+    return pallas_ops.enabled()
+
+
 def double(ops, p):
     """[2]P.  Total: identity propagates via Z3 = 2YZ = 0."""
+    if _pallas_eligible(ops, p):
+        from octopuszk_tpu.ops import pallas_ops
+        return pallas_ops.double_points(ops.group_name, p)
     X, Y, Z = p
     A = ops.sqr(X)
     B = ops.sqr(Y)
@@ -112,6 +141,9 @@ def double(ops, p):
 
 def add(ops, p, q):
     """P + Q, total: handles P=O, Q=O, P=Q (doubling), P=-Q (infinity)."""
+    if _pallas_eligible(ops, p) and _same_batch(p, q):
+        from octopuszk_tpu.ops import pallas_ops
+        return pallas_ops.add_points(ops.group_name, p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     Z1Z1 = ops.sqr(Z1)

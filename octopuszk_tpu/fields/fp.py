@@ -32,18 +32,35 @@ import numpy as np
 from octopuszk_tpu.fields.spec import FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS
 
 L = NUM_LIMBS
-MASK = jnp.uint32(LIMB_MASK)
-U32 = jnp.uint32
-ONE = jnp.uint32(1)
-ZERO = jnp.uint32(0)
+# numpy scalars (not jnp): they fold into jaxprs as literals, which keeps
+# them legal inside Pallas kernel traces (device-array constants are not).
+MASK = np.uint32(LIMB_MASK)
+U32 = np.uint32
+ONE = np.uint32(1)
+ZERO = np.uint32(0)
+
+# When True (inside a Pallas kernel trace, see ops/pallas_ops.py), limb
+# constants are built from scalar literals instead of numpy arrays —
+# Pallas kernels may not capture array constants.
+UNROLL = False
 
 
 def zeros_like_batch(batch_shape) -> jnp.ndarray:
     return jnp.zeros((L,) + tuple(batch_shape), dtype=jnp.uint32)
 
 
+def _literal_limbs(vals, trailing_shape) -> jnp.ndarray:
+    rows = [jnp.full((1,) + tuple(trailing_shape), int(v), dtype=jnp.uint32)
+            for v in vals]
+    return jnp.concatenate(rows, axis=0)
+
+
 def constant(spec_limbs: np.ndarray, batch_shape=()) -> jnp.ndarray:
     """Broadcast a host limb vector to a device [L, *batch] array."""
+    if UNROLL:
+        return jnp.broadcast_to(
+            _literal_limbs(spec_limbs, (1,) * len(batch_shape)),
+            (L,) + tuple(batch_shape))
     c = jnp.asarray(spec_limbs.astype(np.uint32))
     return jnp.broadcast_to(c.reshape((L,) + (1,) * len(batch_shape)),
                             (L,) + tuple(batch_shape))
@@ -51,6 +68,8 @@ def constant(spec_limbs: np.ndarray, batch_shape=()) -> jnp.ndarray:
 
 def _p_col(spec: FieldSpec, ref) -> jnp.ndarray:
     """Modulus limbs shaped [L, 1, ...] to broadcast against ref [L, ...]."""
+    if UNROLL:
+        return _literal_limbs(spec.p_limbs, (1,) * (ref.ndim - 1))
     return jnp.asarray(spec.p_limbs.astype(np.uint32)).reshape(
         (L,) + (1,) * (ref.ndim - 1))
 
@@ -58,6 +77,21 @@ def _p_col(spec: FieldSpec, ref) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Kogge-Stone carry / borrow propagation over the limb axis
 # ---------------------------------------------------------------------------
+
+def _at(x, i: int):
+    """x[i] on the limb axis as a static slice (Mosaic rejects the
+    dynamic_slice that integer indexing lowers to)."""
+    if i < 0:
+        i += x.shape[0]
+    return jnp.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), axis=0)
+
+
+def _row(x, i: int):
+    """x[i:i+1] on the limb axis (keeps the leading axis)."""
+    if i < 0:
+        i += x.shape[0]
+    return jax.lax.slice_in_dim(x, i, i + 1, axis=0)
+
 
 def _shift_down(x, d, fill):
     """Shift limb axis towards higher indices by d, filling with `fill`."""
@@ -89,10 +123,10 @@ def _resolve_add(s):
     Returns (limbs, carry_out) where carry_out is uint32[...] in {0,1}.
     """
     g = s >> LIMB_BITS                      # generate: sum >= 2**16
-    p = ((s & MASK) == MASK).astype(U32)    # propagate: low part == 0xffff
+    p = ((s & MASK) == MASK).astype(jnp.uint32)  # propagate: low == 0xffff
     c = _ks_carry_in(g, p)
     out = (s + c) & MASK
-    top = s[-1] + c[-1]
+    top = _at(s, -1) + _at(c, -1)
     return out, top >> LIMB_BITS
 
 
@@ -100,10 +134,10 @@ def _resolve_sub(d):
     """Normalize limb diffs d[j] = a_j + 2**16 - b_j (in [1, 2**17-1])
     to 16-bit with KS borrows.  Returns (limbs, borrow_out in {0,1})."""
     g = (ONE - (d >> LIMB_BITS))            # borrow generate: d < 2**16
-    p = ((d & MASK) == ZERO).astype(U32)    # propagate: d == 2**16 exactly
+    p = ((d & MASK) == ZERO).astype(jnp.uint32)  # propagate: d == 2**16
     b = _ks_carry_in(g, p)
     out = (d - b) & MASK
-    top = d[-1] - b[-1]
+    top = _at(d, -1) - _at(b, -1)
     return out, ONE - (top >> LIMB_BITS)
 
 
@@ -164,24 +198,32 @@ def mont_mul(spec: FieldSpec, a, b):
     p = _p_col(spec, a)
     n0inv = U32(spec.n0inv)
     t0 = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
+    zrow = jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)
 
-    def round_(i, t):
-        prod = a[i][None] * b                      # [L, ...], exact in u32
-        t = t.at[:L].add(prod & MASK)
-        t = t.at[1:].add(prod >> LIMB_BITS)
-        m = (t[0] * n0inv) & MASK
-        prod2 = m[None] * p
-        t = t.at[:L].add(prod2 & MASK)
-        t = t.at[1:].add(prod2 >> LIMB_BITS)
-        carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-        return t.at[0].add(carry)
+    def acc_prod(t, prod):
+        # t[:L] += lo, t[1:] += hi  (pad-adds: Mosaic-safe, no scatter)
+        t = t + jnp.concatenate([prod & MASK, zrow], axis=0)
+        return t + jnp.concatenate([zrow, prod >> LIMB_BITS], axis=0)
 
-    t = jax.lax.fori_loop(0, L, round_, t0)
+    def round_core(ai_row, t):
+        t = acc_prod(t, ai_row * b)                # exact in u32
+        m = (_row(t, 0) * n0inv) & MASK
+        t = acc_prod(t, m * p)
+        carry = _row(t, 0) >> LIMB_BITS
+        t = jnp.concatenate([t[1:], zrow], axis=0)
+        return jnp.concatenate([_row(t, 0) + carry, t[1:]], axis=0)
+
+    if UNROLL:
+        t = t0
+        for i in range(L):
+            t = round_core(_row(a, i), t)
+    else:
+        t = jax.lax.fori_loop(
+            0, L, lambda i, t: round_core(a[i][None], t), t0)
     # t[:L] limbs < 2**23; t[L] < 2**7. Resolve carries then reduce.
     s, carry = _resolve_wide(t)
     del carry  # value < 2p < 2**255: 17th limb is in s[-1], handled below
-    return _cond_sub_p(spec, s[:L], extra_ge=s[L] != ZERO)
+    return _cond_sub_p(spec, s[:L], extra_ge=_at(s, L) != ZERO)
 
 
 def _resolve_wide(t):
@@ -310,40 +352,53 @@ def from_wide(spec: FieldSpec, wide, out_mont: bool):
     """Reduce uint32[W, ...] (W >= L, limbs < 2**31) to canonical 16 limbs.
 
     Interprets the input as a little-endian base-2**16 integer X (limbs may
-    exceed 16 bits — e.g. raw segment sums).  Returns X mod p, either as a
-    raw residue (out_mont=False) or re-scaled into Montgomery form
-    (out_mont=True, for when X was itself a sum of Montgomery values).
+    exceed 16 bits — e.g. raw segment sums).  Returns X mod p (out_mont=
+    False), or (X * R) mod p (out_mont=True — i.e. treat X as a raw
+    integer and produce its Montgomery form).
+
+    NOTE: a sum of Montgomery-form values is *already* Montgomery-scaled;
+    reduce it with out_mont=False (see reduce_sum_mont).
     """
     W = wide.shape[0]
+    zrow = jnp.zeros((1,) + wide.shape[1:], jnp.uint32)
     # fold multi-bit carries: limbs < 2**31 -> hi < 2**15 folded upward
     lo = wide & MASK
     hi = wide >> LIMB_BITS
-    t = jnp.concatenate([lo, jnp.zeros((1,) + wide.shape[1:], jnp.uint32)],
-                        axis=0)
-    t = t.at[1:].add(hi)                     # limbs < 2**17 - 1
+    t = jnp.concatenate([lo, zrow], axis=0)
+    t = t + jnp.concatenate([zrow, hi], axis=0)   # limbs < 2**17 - 1
     s, carry = _resolve_add(t)
     del carry                                # t sized with headroom above
     W1 = W + 1
-    t = jnp.concatenate(
-        [s, jnp.zeros((1,) + wide.shape[1:], jnp.uint32)], axis=0)
+    t = jnp.concatenate([s, zrow], axis=0)
     n0inv = U32(spec.n0inv)
     p = _p_col(spec, t)
     k = max(W1 - 14, 0)
+    zpad = jnp.zeros((t.shape[0] - L - 1,) + wide.shape[1:], jnp.uint32)
 
     def redc(i, t):
-        m = (t[0] * n0inv) & MASK
-        prod = m[None] * p                  # [L, ...]
-        t = t.at[:L].add(prod & MASK)
-        t = t.at[1:L + 1].add(prod >> LIMB_BITS)
-        carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-        return t.at[0].add(carry)
+        m = (_row(t, 0) * n0inv) & MASK
+        prod = m * p                        # [L, ...]
+        t = t + jnp.concatenate([prod & MASK, zrow, zpad], axis=0)
+        t = t + jnp.concatenate([zrow, prod >> LIMB_BITS, zpad], axis=0)
+        carry = _row(t, 0) >> LIMB_BITS
+        t = jnp.concatenate([t[1:], zrow], axis=0)
+        return jnp.concatenate([_row(t, 0) + carry, t[1:]], axis=0)
 
     t = jax.lax.fori_loop(0, k, redc, t)
     s, carry = _resolve_wide(t[:W1])
     del carry
     s = s[:L + 1]
-    res = _cond_sub_p(spec, s[:L], extra_ge=s[L] != ZERO)
+    res = _cond_sub_p(spec, s[:L], extra_ge=_at(s, L) != ZERO)
     # correct the 2**(-16k) scale factor introduced by the extra passes
     fix = constant(spec.wide_fixup_limbs(k, out_mont), wide.shape[1:])
     return mont_mul(spec, res, fix)
+
+
+def reduce_sum_mont(spec: FieldSpec, wide):
+    """Canonicalize a wide uint32 sum of Montgomery-form values.
+
+    The integer sum of Montgomery values is itself Montgomery-scaled, so
+    this is just ``X mod p`` — the exact-sum path used by sparse matvec
+    segment sums (the role of reduceByKey in R1CStoQAPRDD.java).
+    """
+    return from_wide(spec, wide, out_mont=False)

@@ -34,7 +34,7 @@ def verify_proof(spec: FieldSpec, circuit: Circuit, proof, inputs,
     terms = fp.mont_mul(spec, coeffs, pw[:, :, None])     # [L, K, S]
     # exact per-column sums along the K axis (K <= 2^15 per wide sum)
     wide = terms.sum(axis=1, dtype=jnp.uint32)            # [L, S]
-    col_eval = fp.from_wide(spec, wide, out_mont=True)
+    col_eval = fp.reduce_sum_mont(spec, wide)
     got = circuit.compute(spec, col_eval[:, :, None])[:, 0]
     return bool(jnp.all(fp.eq(claimed, got)))
 

@@ -1,0 +1,193 @@
+"""Pallas TPU kernels for the hot field/curve operations.
+
+The jnp limb kernels in fields/fp.py round-trip every intermediate
+through HBM (one elementwise op at a time unless XLA fuses); the Pallas
+path runs the *entire* formula — e.g. a full Jacobian add, ~16 Montgomery
+multiplies — inside one kernel with all temporaries in VMEM, so HBM
+traffic per point drops from kilobytes to the 6 input + 3 output
+coordinates.  This is the TPU-native counterpart of the reference's fused
+CUDA device functions (algebra_msm_VariableBaseMSM.cu:290-726).
+
+Design: the SAME formula code (curves/jacobian.py, fields/fp.py) is
+traced inside the kernel body with ``fp.UNROLL`` enabled (static CIOS
+rounds — Mosaic-friendly).  Blocks tile the batch (lane) axis; the limb
+axis (16) sits on sublanes.
+
+Enable/disable with env OCTOPUSZK_PALLAS=0/1 (default: on for TPU-like
+backends, off on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from octopuszk_tpu.fields import fp
+from octopuszk_tpu.fields.spec import NUM_LIMBS
+
+L = NUM_LIMBS
+BLOCK = 1024
+
+
+@functools.cache
+def enabled() -> bool:
+    env = os.environ.get("OCTOPUSZK_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    return platform not in ("cpu",)
+
+
+class _unrolled:
+    def __enter__(self):
+        self._old = fp.UNROLL
+        fp.UNROLL = True
+
+    def __exit__(self, *exc):
+        fp.UNROLL = self._old
+
+
+def _flatten_coords(point):
+    """Point pytree -> flat list of [L, n] arrays (+ re-packer)."""
+    flat = []
+    struct = []
+    for coord in point:
+        if isinstance(coord, tuple):
+            struct.append(len(coord))
+            flat.extend(coord)
+        else:
+            struct.append(0)
+            flat.append(coord)
+
+    def rebuild(arrays):
+        out = []
+        it = iter(arrays)
+        for s in struct:
+            if s == 0:
+                out.append(next(it))
+            else:
+                out.append(tuple(next(it) for _ in range(s)))
+        return tuple(out)
+
+    return flat, rebuild
+
+
+def _pad_to_block(arrays, n):
+    pad = (-n) % BLOCK
+    if pad == 0:
+        return arrays, n
+    return [jnp.pad(a, ((0, 0), (0, pad))) for a in arrays], n + pad
+
+
+def pointwise_kernel(fn, n_in: int, n_out: int):
+    """Build a pallas_call running `fn` blockwise along the batch axis.
+
+    fn: list of n_in loaded [L, BLOCK] arrays -> list of n_out arrays.
+    Returns a function over [L, n] arrays (n padded internally).
+    """
+    def kernel(*refs):
+        ins = [r[...] for r in refs[:n_in]]
+        with _unrolled():
+            outs = fn(ins)
+        for r, o in zip(refs[n_in:], outs):
+            r[...] = o
+
+    def call(*arrays):
+        n = arrays[0].shape[1]
+        padded, np_ = _pad_to_block(list(arrays), n)
+        grid = (np_ // BLOCK,)
+        spec = pl.BlockSpec((L, BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec] * n_in,
+            out_specs=[spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((L, np_), jnp.uint32)] * n_out,
+        )(*padded)
+        if np_ != n:
+            out = [o[:, :n] for o in out]
+        return out
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# curve kernels
+# ---------------------------------------------------------------------------
+
+def _group_ops(group_name: str):
+    from octopuszk_tpu.curves import bn254
+    group = bn254.G1 if group_name == "G1" else bn254.G2
+    ncoords = 3 * group.coord_dim
+    if group.coord_dim == 1:
+        def rebuild(arrs):
+            return (arrs[0], arrs[1], arrs[2])
+    else:
+        def rebuild(arrs):
+            return ((arrs[0], arrs[1]), (arrs[2], arrs[3]),
+                    (arrs[4], arrs[5]))
+    return group, ncoords, rebuild
+
+
+@functools.cache
+def _add_kernel(group_name: str):
+    from octopuszk_tpu.curves import jacobian as jac
+    group, ncoords, rebuild = _group_ops(group_name)
+
+    def fn(ins):
+        p = rebuild(ins[:ncoords])
+        q = rebuild(ins[ncoords:])
+        flat, _ = _flatten_coords(jac.add(group.ops, p, q))
+        return flat
+
+    return pointwise_kernel(fn, 2 * ncoords, ncoords)
+
+
+@functools.cache
+def _double_kernel(group_name: str):
+    from octopuszk_tpu.curves import jacobian as jac
+    group, ncoords, rebuild = _group_ops(group_name)
+
+    def fn(ins):
+        flat, _ = _flatten_coords(jac.double(group.ops, rebuild(ins)))
+        return flat
+
+    return pointwise_kernel(fn, ncoords, ncoords)
+
+
+def add_points(group_name, p, q):
+    """Batched Jacobian add via one fused kernel."""
+    fp_, rebuild = _flatten_coords(p)
+    fq, _ = _flatten_coords(q)
+    outs = _add_kernel(group_name)(*(fp_ + fq))
+    return rebuild(outs)
+
+
+def double_points(group_name, p):
+    fp_, rebuild = _flatten_coords(p)
+    outs = _double_kernel(group_name)(*fp_)
+    return rebuild(outs)
+
+
+# ---------------------------------------------------------------------------
+# field kernels
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _mont_mul_kernel(spec):
+    def fn(ins):
+        return [fp.mont_mul(spec, ins[0], ins[1])]
+    return pointwise_kernel(fn, 2, 1)
+
+
+def mont_mul(spec, a, b):
+    return _mont_mul_kernel(spec)(a, b)[0]

@@ -43,6 +43,6 @@ def _wide_sum(spec: FieldSpec, terms):
             n += pad
         wide = terms.reshape(terms.shape[0], n // k, k).sum(
             axis=2, dtype=jnp.uint32)
-        terms = fp.from_wide(spec, wide, out_mont=True)
+        terms = fp.reduce_sum_mont(spec, wide)
         n = terms.shape[1]
     return terms[:, 0]

@@ -92,12 +92,12 @@ def _local_matvec(spec, sm: ShardedMatrix, z_full):
     terms = fp.mont_mul(spec, sm.val, z_full[:, sm.col])
     part = jax.ops.segment_sum(terms.T, sm.row_chunk,
                                num_segments=sm.num_chunks).T
-    part = fp.from_wide(spec, part, out_mont=True)
+    part = fp.reduce_sum_mont(spec, part)
     part = jax.lax.psum(part, AXIS)
-    part = fp.from_wide(spec, part, out_mont=True)
+    part = fp.reduce_sum_mont(spec, part)
     out = jax.ops.segment_sum(part.T, sm.row_chunk_seg,
                               num_segments=sm.num_rows).T
-    return fp.from_wide(spec, out, out_mont=True)
+    return fp.reduce_sum_mont(spec, out)
 
 
 def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):

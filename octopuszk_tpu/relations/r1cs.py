@@ -122,9 +122,9 @@ def _segment_sum_field(spec, terms, seg1, seg1_to_seg2, n1: int, n2: int):
     uint32[L, n2] Montgomery.
     """
     part = jax.ops.segment_sum(terms.T, seg1, num_segments=n1).T
-    part = fp.from_wide(spec, part, out_mont=True)
+    part = fp.reduce_sum_mont(spec, part)
     out = jax.ops.segment_sum(part.T, seg1_to_seg2, num_segments=n2).T
-    return fp.from_wide(spec, out, out_mont=True)
+    return fp.reduce_sum_mont(spec, out)
 
 
 def matvec(spec: FieldSpec, m: SparseMatrix, z):

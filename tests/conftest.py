@@ -7,8 +7,17 @@ exercised without TPU hardware.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the environment pre-sets JAX_PLATFORMS=axon (the TPU
+# tunnel); tests must run on the virtual CPU mesh.  Also hide the axon
+# plugin package entirely — merely registering it opens the (single
+# client) tunnel connection and would starve concurrent real-TPU jobs.
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":")
+    if ".axon_site" not in p)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
