@@ -38,11 +38,14 @@ def bench_vmsm(log2n: int):
     pts = msm.fixed_base_msm(
         g1, g1.point_to_device(g1.generator_affine),
         rand_scalars(n, seed=1))
-    scalars = rand_scalars(n, seed=2)
-    jax.block_until_ready(pts)
+    np.asarray(pts[0])  # materialize (block_until_ready is unreliable on
+    scalars = rand_scalars(n, seed=2)  # the tunneled platform)
 
-    run = lambda: jax.block_until_ready(
-        msm.pippenger_msm(g1, pts, scalars))
+    def run():
+        r = msm.pippenger_msm(g1, pts, scalars)
+        np.asarray(r[0])  # host copy forces full execution
+        return r
+
     run()  # warmup/compile
     iters = 3 if log2n <= 20 else 1
     t0 = time.perf_counter()

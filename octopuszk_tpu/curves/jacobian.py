@@ -78,6 +78,21 @@ def infinity(ops, batch_shape=()):
     return (ops.one(batch_shape), ops.one(batch_shape), ops.zero(batch_shape))
 
 
+def taint_point(p, *refs):
+    """Merge shard_map varying-axes of refs into every coord of p
+    (value-preserving; needed for loop-carry inits inside shard_map)."""
+    from octopuszk_tpu.fields import fp as _fp
+
+    z = None
+    for ref in refs:
+        c = ref
+        while isinstance(c, tuple):
+            c = c[0]
+        zc = _fp.vma_zero(c)
+        z = zc if z is None else (z ^ zc)
+    return _map_coords(p, lambda c: c ^ z)
+
+
 def is_infinity(ops, p):
     return ops.is_zero(p[2])
 
@@ -326,5 +341,5 @@ def scalar_mul(ops, p, scalars_raw, num_bits: int = 254):
         take = scalar_bits(scalars_raw, bit) == jnp.uint32(1)
         return select_point(ops, take, with_add, acc)
 
-    init = infinity(ops, _batch_shape(p[0]))
+    init = taint_point(infinity(ops, _batch_shape(p[0])), p, scalars_raw)
     return jax.lax.fori_loop(0, num_bits, body, init)

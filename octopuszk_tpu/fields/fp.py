@@ -78,6 +78,21 @@ def _p_col(spec: FieldSpec, ref) -> jnp.ndarray:
 # Kogge-Stone carry / borrow propagation over the limb axis
 # ---------------------------------------------------------------------------
 
+def vma_zero(ref):
+    """A scalar zero carrying ref's varying-manual-axes (shard_map vma).
+
+    XOR-ing a loop-carry init with this makes its vma match loop bodies
+    that depend on sharded data — required by scan/fori inside shard_map.
+    """
+    z = jax.lax.slice(ref, (0,) * ref.ndim, (1,) * ref.ndim)
+    return jnp.reshape(z ^ z, ())
+
+
+def taint(x, ref):
+    """Value-preserving vma merge: x ^ vma_zero(ref)."""
+    return x ^ vma_zero(ref)
+
+
 def _at(x, i: int):
     """x[i] on the limb axis as a static slice (Mosaic rejects the
     dynamic_slice that integer indexing lowers to)."""
@@ -197,8 +212,9 @@ def mont_mul(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
     p = _p_col(spec, a)
     n0inv = U32(spec.n0inv)
-    t0 = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
-    zrow = jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)
+    # derive zeros from `a` so their shard_map vma matches the inputs
+    zrow = _row(a, 0) ^ _row(a, 0)
+    t0 = jnp.concatenate([zrow] * (L + 1), axis=0)
 
     def acc_prod(t, prod):
         # t[:L] += lo, t[1:] += hi  (pad-adds: Mosaic-safe, no scatter)
@@ -279,7 +295,7 @@ def pow_const(spec: FieldSpec, a, e: int):
     bits = bin(e)[2:]
     nbits = len(bits)
     bitvec = jnp.asarray(np.array([int(c) for c in bits], dtype=np.uint32))
-    one = constant(spec.one_mont_limbs, a.shape[1:])
+    one = taint(constant(spec.one_mont_limbs, a.shape[1:]), a)
 
     def body(i, acc):
         acc = mont_sqr(spec, acc)
@@ -360,7 +376,7 @@ def from_wide(spec: FieldSpec, wide, out_mont: bool):
     reduce it with out_mont=False (see reduce_sum_mont).
     """
     W = wide.shape[0]
-    zrow = jnp.zeros((1,) + wide.shape[1:], jnp.uint32)
+    zrow = _row(wide, 0) ^ _row(wide, 0)
     # fold multi-bit carries: limbs < 2**31 -> hi < 2**15 folded upward
     lo = wide & MASK
     hi = wide >> LIMB_BITS
@@ -373,7 +389,7 @@ def from_wide(spec: FieldSpec, wide, out_mont: bool):
     n0inv = U32(spec.n0inv)
     p = _p_col(spec, t)
     k = max(W1 - 14, 0)
-    zpad = jnp.zeros((t.shape[0] - L - 1,) + wide.shape[1:], jnp.uint32)
+    zpad = jnp.concatenate([zrow] * (t.shape[0] - L - 1), axis=0)
 
     def redc(i, t):
         m = (_row(t, 0) * n0inv) & MASK

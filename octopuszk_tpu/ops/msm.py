@@ -168,7 +168,7 @@ def fixed_base_msm(group, base_point, scalars_raw, w: int = 8):
         return group.add(acc, pts)
 
     n = scalars_raw.shape[1]
-    init = group.infinity((n,))
+    init = jac.taint_point(group.infinity((n,)), table, (digits,))
     return jax.lax.fori_loop(0, outerc, body, init)
 
 
@@ -224,7 +224,7 @@ def pippenger_msm(group, points, scalars_raw, c: int | None = None,
         acc = jax.lax.fori_loop(0, c, dbl, acc)
         return group.add(acc, wj)
 
-    acc0 = group.infinity(())
+    acc0 = jac.taint_point(group.infinity(()), window_results)
     return jax.lax.fori_loop(0, num_win, combine, acc0)
 
 
@@ -258,7 +258,7 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
         newc = group.add(carryp, row)
         return newc, newc
 
-    carry0 = group.infinity((lanes,))
+    carry0 = jac.taint_point(group.infinity((lanes,)), pts)
     lane_totals, prefix_rows = jax.lax.scan(step, carry0, pts_rows)
 
     def from_rows(a):  # [rows, L, lanes] -> [L, m]

@@ -44,6 +44,10 @@ class ShardedMatrix:
     row_chunk_seg: jnp.ndarray  # replicated [n_chunks]
     num_rows: int
     num_chunks: int
+    col_chunk: jnp.ndarray = None        # sharded [nnz_pad]
+    col_chunk_seg: jnp.ndarray = None    # replicated [n_col_chunks]
+    num_cols: int = 0
+    num_col_chunks: int = 0
 
 
 @dataclasses.dataclass
@@ -64,6 +68,7 @@ def shard_matrix(mesh, m: SparseMatrix) -> ShardedMatrix:
     col = np.pad(np.asarray(m.col), (0, pad))
     val = np.pad(np.asarray(m.val), ((0, 0), (0, pad)))  # zero value terms
     chunk = np.pad(np.asarray(m.row_chunk), (0, pad))    # pads add 0 to chunk0
+    cchunk = np.pad(np.asarray(m.col_chunk), (0, pad))
     sh = batch_sharding(mesh)
     sh1 = jax.sharding.NamedSharding(mesh, P(AXIS))
     rep = replicated(mesh)
@@ -74,7 +79,11 @@ def shard_matrix(mesh, m: SparseMatrix) -> ShardedMatrix:
         row_chunk=jax.device_put(jnp.asarray(chunk), sh1),
         row_chunk_seg=jax.device_put(m.row_chunk_seg, rep),
         num_rows=m.num_rows,
-        num_chunks=int(m.row_chunk_seg.shape[0]))
+        num_chunks=int(m.row_chunk_seg.shape[0]),
+        col_chunk=jax.device_put(jnp.asarray(cchunk), sh1),
+        col_chunk_seg=jax.device_put(m.col_chunk_seg, rep),
+        num_cols=m.num_cols,
+        num_col_chunks=int(m.col_chunk_seg.shape[0]))
 
 
 def shard_r1cs(mesh, r1cs: R1CS) -> ShardedR1CS:
@@ -169,13 +178,239 @@ def _mont_limbs(spec, x: int):
     return int_to_limbs(spec.to_mont(x % spec.p), NUM_LIMBS)
 
 
-def distributed_prove_core(mesh, group, pk_queries, z, h):
-    """The MSM phase over sharded queries; returns replicated points.
+def _local_rmatvec(spec, sm: ShardedMatrix, w_full):
+    """Inside shard_map: transpose matvec A.T @ w -> replicated [L, cols]."""
+    terms = fp.mont_mul(spec, sm.val, w_full[:, sm.row])
+    part = jax.ops.segment_sum(terms.T, sm.col_chunk,
+                               num_segments=sm.num_col_chunks).T
+    part = fp.reduce_sum_mont(spec, part)
+    part = jax.lax.psum(part, AXIS)
+    part = fp.reduce_sum_mont(spec, part)
+    out = jax.ops.segment_sum(part.T, sm.col_chunk_seg,
+                              num_segments=sm.num_cols).T
+    return fp.reduce_sum_mont(spec, out)
 
-    pk_queries: dict of sharded point batches (query_a/b1/b2/h, delta_abc).
-    z, h: sharded raw-limb scalars.
+
+def distributed_lagrange(mesh, spec: FieldSpec, n: int, t: int):
+    """Sharded Lagrange coefficients L_i(t), i < n — uint32[L, n] sharded.
+
+    Reference: FFTAuxiliary.distributedRadix2LagrangeCoefficients
+    (FFTAuxiliary.java:307-354).  Requires t outside the domain (the
+    random-secret case; checked on host).
     """
-    out = {}
-    for name, (grp, pts, scal) in pk_queries.items():
-        out[name] = dmsm.distributed_pippenger(mesh, grp, pts, scal)
-    return out
+    assert pow(t, n, spec.p) != 1, "t in evaluation domain"
+    d = mesh.devices.size
+    dmax = 1 << max(0, (d - 1).bit_length())
+    omega = spec.rou_of_order(n)
+    zt_over_n = (pow(t, n, spec.p) - 1) * pow(n, -1, spec.p) % spec.p
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(),
+                       out_specs=P(None, AXIS))
+    def _body():
+        w = dntt._dev_scaled_powers(spec, omega, n // d, dmax)
+        t_col = fp.constant(np.asarray(_mont_limbs(spec, t)), (n // d,))
+        diff = fp.sub(spec, t_col, w)
+        inv_diff = fp.batch_inv(spec, diff)
+        zc = fp.constant(np.asarray(_mont_limbs(spec, zt_over_n)), ())
+        return fp.mont_mul(spec, fp.mont_mul(spec, w, inv_diff),
+                           zc[:, None])
+
+    return _body()
+
+
+def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
+                             t: int, n: int):
+    """Sharded At/Bt/Ct [L, m_pad] + Ht [L, h_pad]; zt host.
+
+    Reference: R1CStoQAPRDD.R1CStoQAPRelation (R1CStoQAPRDD.java:44-131).
+    """
+    d = mesh.devices.size
+    nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
+    m_pad = m + (-m) % d
+    lag = distributed_lagrange(mesh, spec, n, t)
+    mats = (sr.a, sr.b, sr.c)
+    mat_specs = tuple(
+        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in mats)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(mat_specs, P(None, AXIS)),
+        out_specs=(P(None, AXIS),) * 3)
+    def _instance(mats_flat, lag_loc):
+        lag_full = jax.lax.all_gather(lag_loc, AXIS, axis=1, tiled=True)
+        w = lag_full[:, :nc]
+        outs = []
+        for (row, col, val, cchunk, cseg), src in zip(mats_flat, mats):
+            sm = ShardedMatrix(
+                row=row, col=col, val=val, row_chunk=None,
+                row_chunk_seg=None, num_rows=src.num_rows,
+                num_chunks=0, col_chunk=cchunk, col_chunk_seg=cseg,
+                num_cols=src.num_cols, num_col_chunks=src.num_col_chunks)
+            outs.append(_local_rmatvec(spec, sm, w))
+        at, bt, ct = outs
+        # input consistency: At_i += L_{nc+i}(t), i < ni
+        consist = jnp.zeros_like(at).at[:, :ni].set(lag_full[:, nc:nc + ni])
+        at = fp.add(spec, at, consist)
+        # pad to m_pad and slice the local shard
+        dev = jax.lax.axis_index(AXIS)
+        sl = m_pad // d
+        def pick(x):
+            x = jnp.pad(x, ((0, 0), (0, m_pad - x.shape[1])))
+            return jax.lax.dynamic_slice_in_dim(x, dev * sl, sl, axis=1)
+        return pick(at), pick(bt), pick(ct)
+
+    flats = tuple((mm.row, mm.col, mm.val, mm.col_chunk, mm.col_chunk_seg)
+                  for mm in mats)
+    at, bt, ct = _instance(flats, lag)
+
+    # Ht = powers of t, padded to a multiple of d past n+1
+    h_pad = (n + 1) + (-(n + 1)) % d
+    dmax = 1 << max(0, (d - 1).bit_length())
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(),
+                       out_specs=P(None, AXIS))
+    def _ht():
+        return dntt._dev_scaled_powers(spec, t, h_pad // d, dmax)
+
+    from octopuszk_tpu.ops import ntt as sntt
+    zt = sntt.compute_z_at(spec, n, t)
+    return at, bt, ct, _ht(), zt
+
+
+def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1):
+    """Distributed CRS generation; returns a CRS whose proving-key queries
+    are batch-sharded point arrays (delta_abc_g1 covers ALL m variables —
+    the distributed prover zeroes primary scalars instead of slicing).
+
+    Reference: DistributedSetup.generate (DistributedSetup.java:34-227).
+    """
+    import random as _random
+
+    from octopuszk_tpu.curves import bn254, pairing
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.models.groth16.objects import (
+        CRS, ProvingKey, VerificationKey)
+    from octopuszk_tpu.parallel import mesh as pmesh
+    from octopuszk_tpu.utils.bigint import limbs_to_ints
+
+    rng = _random.Random(seed)
+    t, alpha, beta, gamma, delta = (rng.randrange(1, FR.p) for _ in range(5))
+    inv_gamma = pow(gamma, -1, FR.p)
+    inv_delta = pow(delta, -1, FR.p)
+    nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
+    n = 1 << (nc + ni - 1).bit_length()
+
+    at, bt, ct, ht, zt = distributed_qap_instance(mesh, FR, sr, t, n)
+
+    def cmul(x, k: int):
+        kc = jnp.asarray(np.asarray(_mont_limbs(FR, k)))
+        return fp.mont_mul(FR, x, kc[:, None])
+
+    abc = fp.add(FR, fp.add(FR, cmul(at, beta), cmul(bt, alpha)), ct)
+    delta_abc = cmul(abc, inv_delta)        # full m_pad (see docstring)
+    ht_scaled = cmul(ht, zt * inv_delta % FR.p)
+
+    g1_gen = bn254.G1.host.mul(bn254.G1.generator_affine,
+                               rng.randrange(1, FR.p))
+    g2_gen = bn254.G2.host.mul(bn254.G2.generator_affine,
+                               rng.randrange(1, FR.p))
+    g1_dev = pmesh.replicate_point(mesh, bn254.G1.point_to_device(g1_gen))
+    g2_dev = pmesh.replicate_point(mesh, bn254.G2.point_to_device(g2_gen))
+
+    def raw(x):
+        return fp.from_mont(FR, x)
+
+    query_a = dmsm.distributed_fixed_base_msm(mesh, bn254.G1, g1_dev, raw(at))
+    query_b_g1 = dmsm.distributed_fixed_base_msm(
+        mesh, bn254.G1, g1_dev, raw(bt))
+    query_b_g2 = dmsm.distributed_fixed_base_msm(
+        mesh, bn254.G2, g2_dev, raw(bt))
+    delta_abc_g1 = dmsm.distributed_fixed_base_msm(
+        mesh, bn254.G1, g1_dev, raw(delta_abc))
+    query_h = dmsm.distributed_fixed_base_msm(
+        mesh, bn254.G1, g1_dev, raw(ht_scaled))
+
+    # gammaABC (ni entries): pull the primary slice to host — O(ni)
+    abc_primary = np.asarray(abc[:, :ni])
+    gamma_abc_scalars = [
+        FR.from_mont(v) * inv_gamma % FR.p
+        for v in limbs_to_ints(abc_primary)]
+    gamma_abc_g1 = [bn254.G1.host.mul(g1_gen, s) for s in gamma_abc_scalars]
+
+    pk = ProvingKey(
+        alpha_g1=bn254.G1.host.mul(g1_gen, alpha),
+        beta_g1=bn254.G1.host.mul(g1_gen, beta),
+        beta_g2=bn254.G2.host.mul(g2_gen, beta),
+        delta_g1=bn254.G1.host.mul(g1_gen, delta),
+        delta_g2=bn254.G2.host.mul(g2_gen, delta),
+        delta_abc_g1=delta_abc_g1, query_a=query_a,
+        query_b_g1=query_b_g1, query_b_g2=query_b_g2,
+        query_h=query_h, r1cs=sr)
+    vk = VerificationKey(
+        alpha_beta_gt=pairing.reduced_pairing(
+            pk.alpha_g1, pk.beta_g2),
+        gamma_g2=bn254.G2.host.mul(g2_gen, gamma),
+        delta_g2=pk.delta_g2,
+        gamma_abc_g1=gamma_abc_g1)
+    return CRS(proving_key=pk, verification_key=vk)
+
+
+def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2):
+    """Distributed prover over a sharded proving key (distributed_setup).
+
+    Reference: DistributedProver.prove (DistributedProver.java:28-167).
+    """
+    import random as _random
+
+    from octopuszk_tpu.curves import bn254, jacobian as jac
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.models.groth16.objects import Proof
+    from octopuszk_tpu.parallel import mesh as pmesh
+    from octopuszk_tpu.relations.r1cs import assignment_to_device
+
+    rng = _random.Random(seed)
+    r = rng.randrange(FR.p)
+    s = rng.randrange(FR.p)
+    sr = pk.r1cs
+    d = mesh.devices.size
+    nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
+    n = 1 << (nc + ni - 1).bit_length()
+    m_pad = m + (-m) % d
+    h_pad = (n + 1) + (-(n + 1)) % d
+
+    full = list(primary) + list(auxiliary)
+    z = pmesh.shard_vector(
+        mesh, assignment_to_device(FR, full + [0] * (m_pad - m)))
+    h = distributed_witness(mesh, FR, sr, n, z)       # [L, n] sharded
+    h = jnp.pad(h, ((0, 0), (0, h_pad - n)))
+
+    z_raw = fp.from_mont(FR, z)
+    # zero primary scalars for the deltaABC MSM (full-m query)
+    idx = jnp.arange(m_pad, dtype=jnp.int32)
+    z_aux_raw = jnp.where(idx[None, :] < ni, jnp.uint32(0), z_raw)
+    h_raw = fp.from_mont(FR, h)
+
+    def run_msm(grp, pts, scal):
+        part = dmsm.distributed_pippenger(mesh, grp, pts, scal)
+        return _replicated_point_to_host(grp, part)
+
+    eval_a = run_msm(bn254.G1, pk.query_a, z_raw)
+    eval_b1 = run_msm(bn254.G1, pk.query_b_g1, z_raw)
+    eval_b2 = run_msm(bn254.G2, pk.query_b_g2, z_raw)
+    eval_h = run_msm(bn254.G1, pk.query_h, h_raw)
+    eval_abc = run_msm(bn254.G1, pk.delta_abc_g1, z_aux_raw)
+
+    g1, g2 = bn254.G1.host, bn254.G2.host
+    a_pt = g1.add(g1.add(pk.alpha_g1, eval_a), g1.mul(pk.delta_g1, r))
+    b1_pt = g1.add(g1.add(pk.beta_g1, eval_b1), g1.mul(pk.delta_g1, s))
+    b2_pt = g2.add(g2.add(pk.beta_g2, eval_b2), g2.mul(pk.delta_g2, s))
+    c_pt = g1.add(eval_abc, eval_h)
+    c_pt = g1.add(c_pt, g1.mul(a_pt, s))
+    c_pt = g1.add(c_pt, g1.mul(b1_pt, r))
+    c_pt = g1.add(c_pt, g1.neg(g1.mul(pk.delta_g1, r * s % FR.p)))
+    return Proof(a=a_pt, b=b2_pt, c=c_pt)
+
+
+def _replicated_point_to_host(grp, p):
+    from octopuszk_tpu.curves import jacobian as jac
+    return grp.points_to_host(jac._map_coords(p, lambda c: c[..., None]))[0]

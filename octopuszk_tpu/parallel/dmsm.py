@@ -41,7 +41,8 @@ def distributed_pippenger(mesh, group, points, scalars_raw,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(point_spec, P(None, AXIS)),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), points))
+        out_specs=jax.tree_util.tree_map(lambda _: P(), points),
+        check_vma=False)  # result is replicated by the all_gather+reduce
     def _local(pts, scal):
         part = msm.pippenger_msm(group, pts, scal, c, lanes)
         # [D] partial points on every chip, then local log-tree reduce

@@ -18,6 +18,12 @@ sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":")
     if ".axon_site" not in p)
+
+# jaxtyping's pytest plugin imports jax BEFORE this conftest runs, baking
+# JAX_PLATFORMS=axon into the config — override it post-import too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
