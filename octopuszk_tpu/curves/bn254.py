@@ -1,6 +1,6 @@
 """BN254 G1/G2 device groups: Jacobian limb-tensor batches + host bridges.
 
-``G1`` / ``G2`` bundle the generic Jacobian ops (curves/jacobian.py) with
+``G1`` / ``G2`` bundle the complete-projective ops (curves/group_ops.py)
 conversions between host affine points (python ints, None = identity — the
 format of curves/host_curve.py) and device batches.
 
@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from octopuszk_tpu.curves import host_curve, jacobian as jac
+from octopuszk_tpu.curves import host_curve, group_ops as jac
 from octopuszk_tpu.fields.spec import FQ, NUM_LIMBS
 from octopuszk_tpu.utils.bigint import ints_to_limbs, limbs_to_ints
 

@@ -1,0 +1,333 @@
+"""Vectorized COMPLETE projective curve arithmetic (a = 0 curves).
+
+Homogeneous projective points ``(X, Y, Z)`` with the identity at
+(0, 1, 0), using the Renes–Costello–Batina complete addition formulas
+(EPFL ePrint 2015/1060, Algorithms 7-9 for a=0): one branchless 12M
+formula correct for EVERY input pair — doubling, identity, inverses —
+so the vectorized kernels need no per-lane selects and do ~2.2x less
+work than total Jacobian add (which must also compute the doubling
+branch).  Requires odd group order (true for BN254 G1 and the G2
+subgroup).
+
+Works over any coordinate field presented as an ops namespace (Fp for
+G1, Fp2 for G2).  Everything is shape-polymorphic in the batch dims and
+jit/vmap/shard_map friendly.
+
+Reference parity: the roles of BNG1.java:38-117 / BNG2.java and the
+device EC arithmetic in algebra_msm_VariableBaseMSM.cu:290-726 — an
+intentionally different (strictly better for SIMD) formula family.
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax.numpy as jnp
+
+from octopuszk_tpu.fields import fp, fp2, host_tower
+from octopuszk_tpu.fields.spec import FieldSpec, NUM_LIMBS
+from octopuszk_tpu.utils.bigint import int_to_limbs
+
+import numpy as np
+
+
+def _mul_by_9(spec, x):
+    """9*x by addition chain (cheaper than a full Montgomery multiply)."""
+    x2 = fp.add(spec, x, x)
+    x4 = fp.add(spec, x2, x2)
+    x8 = fp.add(spec, x4, x4)
+    return fp.add(spec, x8, x)
+
+
+def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
+    """Coordinate-field adapter for a base prime field (G1, b = 3)."""
+    return types.SimpleNamespace(
+        spec=spec,
+        group_name="G1",
+        add=lambda a, b: fp.add(spec, a, b),
+        sub=lambda a, b: fp.sub(spec, a, b),
+        mul=lambda a, b: fp.mont_mul(spec, a, b),
+        sqr=lambda a: fp.mont_sqr(spec, a),
+        neg=lambda a: fp.neg(spec, a),
+        dbl=lambda a: fp.add(spec, a, a),
+        inv=lambda a: fp.inv(spec, a),
+        mul_b3=lambda a: _mul_by_9(spec, a),    # b3 = 3b = 9
+        is_zero=fp.is_zero,
+        eq=fp.eq,
+        select=fp.select,
+        zero=lambda shape=(): fp.zeros_like_batch(shape),
+        one=lambda shape=(): fp.constant(spec.one_mont_limbs, shape),
+    )
+
+
+def _g2_b3_limbs(spec):
+    """b3 for the D-twist y^2 = x^3 + 3/(9+u): 9/(9+u) as Fp2 limbs."""
+    b2 = host_tower.fp2_mul((3, 0), host_tower.fp2_inv(host_tower.XI))
+    b3 = host_tower.fp2_scalar(b2, 3)
+    return (np.asarray(int_to_limbs(spec.to_mont(b3[0]), NUM_LIMBS)),
+            np.asarray(int_to_limbs(spec.to_mont(b3[1]), NUM_LIMBS)))
+
+
+def make_fp2_ops(spec: FieldSpec) -> types.SimpleNamespace:
+    """Coordinate-field adapter for Fp2 (G2, b = 3/(9+u))."""
+    b3c0, b3c1 = _g2_b3_limbs(spec)
+
+    def mul_b3(a):
+        cc = tuple(jnp.broadcast_to(
+            x.reshape((NUM_LIMBS,) + (1,) * (a[0].ndim - 1)), a[0].shape)
+            for x in (fp.constant(b3c0), fp.constant(b3c1)))
+        return fp2.mul(spec, a, cc)
+
+    return types.SimpleNamespace(
+        spec=spec,
+        group_name="G2",
+        add=lambda a, b: fp2.add(spec, a, b),
+        sub=lambda a, b: fp2.sub(spec, a, b),
+        mul=lambda a, b: fp2.mul(spec, a, b),
+        sqr=lambda a: fp2.sqr(spec, a),
+        neg=lambda a: fp2.neg(spec, a),
+        dbl=lambda a: fp2.double(spec, a),
+        inv=lambda a: fp2.inv(spec, a),
+        mul_b3=mul_b3,
+        is_zero=fp2.is_zero,
+        eq=fp2.eq,
+        select=fp2.select,
+        zero=lambda shape=(): (fp.zeros_like_batch(shape),
+                               fp.zeros_like_batch(shape)),
+        one=lambda shape=(): (fp.constant(spec.one_mont_limbs, shape),
+                              fp.zeros_like_batch(shape)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# point predicates / constructors
+# ---------------------------------------------------------------------------
+
+def infinity(ops, batch_shape=()):
+    """The identity: (0, 1, 0)."""
+    return (ops.zero(batch_shape), ops.one(batch_shape),
+            ops.zero(batch_shape))
+
+
+def is_infinity(ops, p):
+    return ops.is_zero(p[2])
+
+
+def select_point(ops, mask, p, q):
+    """mask ? p : q, per batch element."""
+    return tuple(ops.select(mask, a, b) for a, b in zip(p, q))
+
+
+def negate(ops, p):
+    return (p[0], ops.neg(p[1]), p[2])
+
+
+def taint_point(p, *refs):
+    """Merge shard_map varying-axes of refs into every coord of p
+    (value-preserving; needed for loop-carry inits inside shard_map)."""
+    z = None
+    for ref in refs:
+        c = ref
+        while isinstance(c, tuple):
+            c = c[0]
+        zc = fp.vma_zero(c)
+        z = zc if z is None else (z ^ zc)
+    return _map_coords(p, lambda c: c ^ z)
+
+
+def _batch_shape(coord):
+    """Batch shape of a coordinate (unwrap Fp2 pairs)."""
+    while isinstance(coord, tuple):
+        coord = coord[0]
+    return coord.shape[1:]
+
+
+def _map_coords(point, fn):
+    return tuple(
+        tuple(fn(c) for c in coord) if isinstance(coord, tuple) else fn(coord)
+        for coord in point)
+
+
+# ---------------------------------------------------------------------------
+# complete add / double / mixed add  (RCB 2015, Algorithms 7, 8, 9; a = 0)
+# ---------------------------------------------------------------------------
+
+def _same_batch(p, q):
+    a, b = p[0], q[0]
+    while isinstance(a, tuple):
+        a = a[0]
+    while isinstance(b, tuple):
+        b = b[0]
+    return a.shape == b.shape
+
+
+def _pallas_eligible(ops, p):
+    """Use the fused Pallas kernel? (TPU backend, flat [L, n] batch, not
+    already tracing inside a kernel.)"""
+    if fp.UNROLL:
+        return False
+    c = p[0]
+    while isinstance(c, tuple):
+        c = c[0]
+    if c.ndim != 2 or c.shape[1] < 256:
+        return False
+    from octopuszk_tpu.ops import pallas_ops
+    return pallas_ops.enabled()
+
+
+def add(ops, p, q):
+    """P + Q, complete: valid for all inputs (identity, equal, inverse)."""
+    if _pallas_eligible(ops, p) and _same_batch(p, q):
+        from octopuszk_tpu.ops import pallas_ops
+        return pallas_ops.add_points(ops.group_name, p, q)
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = ops.mul(X1, X2)
+    t1 = ops.mul(Y1, Y2)
+    t2 = ops.mul(Z1, Z2)
+    t3 = ops.mul(ops.add(X1, Y1), ops.add(X2, Y2))
+    t3 = ops.sub(t3, ops.add(t0, t1))                 # X1Y2 + X2Y1
+    t4 = ops.mul(ops.add(Y1, Z1), ops.add(Y2, Z2))
+    t4 = ops.sub(t4, ops.add(t1, t2))                 # Y1Z2 + Y2Z1
+    t5 = ops.mul(ops.add(X1, Z1), ops.add(X2, Z2))
+    t5 = ops.sub(t5, ops.add(t0, t2))                 # X1Z2 + X2Z1
+    three_t0 = ops.add(ops.dbl(t0), t0)
+    b3t2 = ops.mul_b3(t2)
+    z3 = ops.add(t1, b3t2)
+    t1 = ops.sub(t1, b3t2)
+    y3 = ops.mul_b3(t5)
+    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t4, y3))
+    Y3 = ops.add(ops.mul(y3, three_t0), ops.mul(t1, z3))
+    Z3 = ops.add(ops.mul(z3, t4), ops.mul(three_t0, t3))
+    return (X3, Y3, Z3)
+
+
+def double(ops, p):
+    """[2]P, complete (RCB Algorithm 9, a = 0)."""
+    if _pallas_eligible(ops, p):
+        from octopuszk_tpu.ops import pallas_ops
+        return pallas_ops.double_points(ops.group_name, p)
+    X, Y, Z = p
+    t0 = ops.sqr(Y)
+    z3 = ops.dbl(ops.dbl(ops.dbl(t0)))                # 8Y^2
+    t1 = ops.mul(Y, Z)
+    t2 = ops.mul_b3(ops.sqr(Z))
+    X3 = ops.mul(t2, z3)
+    Y3 = ops.add(t0, t2)
+    Z3 = ops.mul(t1, z3)
+    t2_3 = ops.add(ops.dbl(t2), t2)
+    t0 = ops.sub(t0, t2_3)
+    Y3 = ops.add(X3, ops.mul(t0, Y3))
+    X3 = ops.dbl(ops.mul(t0, ops.mul(X, Y)))
+    return (X3, Y3, Z3)
+
+
+def mixed_add(ops, p, q_affine, q_inf_mask=None):
+    """P (projective) + Q (affine, Z=1): complete in P (RCB Algorithm 8).
+
+    ``q_inf_mask`` marks batch slots where Q is the identity.
+    """
+    X1, Y1, Z1 = p
+    X2, Y2 = q_affine
+    t0 = ops.mul(X1, X2)
+    t1 = ops.mul(Y1, Y2)
+    t3 = ops.mul(ops.add(X2, Y2), ops.add(X1, Y1))
+    t3 = ops.sub(t3, ops.add(t0, t1))                 # X1Y2 + X2Y1
+    t4 = ops.add(ops.mul(X2, Z1), X1)                 # X1 + X2Z1
+    t5 = ops.add(ops.mul(Y2, Z1), Y1)                 # Y1 + Y2Z1
+    three_t0 = ops.add(ops.dbl(t0), t0)
+    b3z1 = ops.mul_b3(Z1)
+    z3 = ops.add(t1, b3z1)
+    t1 = ops.sub(t1, b3z1)
+    y3 = ops.mul_b3(t4)
+    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t5, y3))
+    Y3 = ops.add(ops.mul(y3, three_t0), ops.mul(t1, z3))
+    Z3 = ops.add(ops.mul(z3, t5), ops.mul(three_t0, t3))
+    out = (X3, Y3, Z3)
+    if q_inf_mask is not None:
+        out = select_point(ops, q_inf_mask, p, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# affine conversion
+# ---------------------------------------------------------------------------
+
+def to_affine(ops, p):
+    """Batch projective -> affine: (x, y, inf_mask); identity -> (0, 0)."""
+    X, Y, Z = p
+    inf = is_infinity(ops, p)
+    z_safe = ops.select(inf, ops.one(_batch_shape(X)), Z)
+    zinv = ops.inv(z_safe)
+    x = ops.mul(X, zinv)
+    y = ops.mul(Y, zinv)
+    zero = ops.zero(_batch_shape(X))
+    return (ops.select(inf, zero, x), ops.select(inf, zero, y), inf)
+
+
+def normalize_z1(ops, p):
+    """Rescale to Z=1 form (identity stays (0,1,0))."""
+    x, y, inf = to_affine(ops, p)
+    one = ops.one(_batch_shape(x))
+    z = ops.select(inf, ops.zero(_batch_shape(x)), one)
+    y = ops.select(inf, one, y)
+    return (x, y, z)
+
+
+# ---------------------------------------------------------------------------
+# reductions and scalar multiplication
+# ---------------------------------------------------------------------------
+
+def tree_reduce(ops, p, axis_size: int):
+    """Sum a batch of points along the last batch axis -> single point.
+
+    Hillis-Steele suffix folding under one fori_loop (constant shapes):
+    level l adds element j + 2^l into element j.  TPU-native replacement
+    for Spark `reduce(GroupT::add)` (VariableBaseMSM.java:779-786).
+    """
+    import jax
+
+    n = axis_size
+    if n == 1:
+        return _index_last(p, 0)
+    levels = (n - 1).bit_length()
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inf = infinity(ops, (n,))
+
+    def body(l, q):
+        d = jnp.left_shift(jnp.int32(1), l)
+        idx = jnp.minimum(iota + d, n - 1)
+        shifted = _map_coords(q, lambda c: c[..., idx])
+        valid = iota + d < n
+        shifted = select_point(ops, valid, shifted, inf)
+        return add(ops, q, shifted)
+
+    out = jax.lax.fori_loop(0, levels, body, p)
+    return _index_last(out, 0)
+
+
+def _index_last(p, i):
+    return _map_coords(p, lambda c: c[..., i])
+
+
+def scalar_bits(scalars_raw: jnp.ndarray, bit: int) -> jnp.ndarray:
+    """Bit `bit` of each scalar; scalars_raw is uint32[L, ...] raw limbs."""
+    from octopuszk_tpu.fields.spec import LIMB_BITS
+    limb = bit // LIMB_BITS
+    off = bit % LIMB_BITS
+    return (scalars_raw[limb] >> jnp.uint32(off)) & jnp.uint32(1)
+
+
+def scalar_mul(ops, p, scalars_raw, num_bits: int = 254):
+    """[k_i] P_i elementwise over a batch (double-and-add, MSB first)."""
+    import jax
+
+    def body(i, acc):
+        bit = num_bits - 1 - i
+        acc = double(ops, acc)
+        with_add = add(ops, acc, p)
+        take = scalar_bits(scalars_raw, bit) == jnp.uint32(1)
+        return select_point(ops, take, with_add, acc)
+
+    init = taint_point(infinity(ops, _batch_shape(p[0])), p, scalars_raw)
+    return jax.lax.fori_loop(0, num_bits, body, init)

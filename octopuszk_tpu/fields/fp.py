@@ -212,8 +212,8 @@ def mont_mul(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
     p = _p_col(spec, a)
     n0inv = U32(spec.n0inv)
-    # derive zeros from `a` so their shard_map vma matches the inputs
-    zrow = _row(a, 0) ^ _row(a, 0)
+    # derive zeros from both inputs so their shard_map vma matches the body
+    zrow = (_row(a, 0) ^ _row(a, 0)) | (_row(b, 0) ^ _row(b, 0))
     t0 = jnp.concatenate([zrow] * (L + 1), axis=0)
 
     def acc_prod(t, prod):

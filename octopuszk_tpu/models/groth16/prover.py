@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import random
 
-from octopuszk_tpu.curves import bn254, jacobian as jac
+from octopuszk_tpu.curves import bn254, group_ops as jac
 from octopuszk_tpu.fields import fp
 from octopuszk_tpu.fields.spec import FR
 from octopuszk_tpu.models.groth16.objects import Proof, ProvingKey

@@ -35,7 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from octopuszk_tpu.curves import jacobian as jac
+from octopuszk_tpu.curves import group_ops as jac
 from octopuszk_tpu.fields.spec import LIMB_BITS, NUM_LIMBS
 
 I32 = jnp.int32

@@ -2,13 +2,13 @@
 
 The jnp limb kernels in fields/fp.py round-trip every intermediate
 through HBM (one elementwise op at a time unless XLA fuses); the Pallas
-path runs the *entire* formula — e.g. a full Jacobian add, ~16 Montgomery
+path runs the *entire* formula — e.g. a full projective add, ~12 Montgomery
 multiplies — inside one kernel with all temporaries in VMEM, so HBM
 traffic per point drops from kilobytes to the 6 input + 3 output
 coordinates.  This is the TPU-native counterpart of the reference's fused
 CUDA device functions (algebra_msm_VariableBaseMSM.cu:290-726).
 
-Design: the SAME formula code (curves/jacobian.py, fields/fp.py) is
+Design: the SAME formula code (curves/group_ops.py, fields/fp.py) is
 traced inside the kernel body with ``fp.UNROLL`` enabled (static CIOS
 rounds — Mosaic-friendly).  Blocks tile the batch (lane) axis; the limb
 axis (16) sits on sublanes.
@@ -140,7 +140,7 @@ def _group_ops(group_name: str):
 
 @functools.cache
 def _add_kernel(group_name: str):
-    from octopuszk_tpu.curves import jacobian as jac
+    from octopuszk_tpu.curves import group_ops as jac
     group, ncoords, rebuild = _group_ops(group_name)
 
     def fn(ins):
@@ -154,7 +154,7 @@ def _add_kernel(group_name: str):
 
 @functools.cache
 def _double_kernel(group_name: str):
-    from octopuszk_tpu.curves import jacobian as jac
+    from octopuszk_tpu.curves import group_ops as jac
     group, ncoords, rebuild = _group_ops(group_name)
 
     def fn(ins):
@@ -165,7 +165,7 @@ def _double_kernel(group_name: str):
 
 
 def add_points(group_name, p, q):
-    """Batched Jacobian add via one fused kernel."""
+    """Batched complete-projective add via one fused kernel."""
     fp_, rebuild = _flatten_coords(p)
     fq, _ = _flatten_coords(q)
     outs = _add_kernel(group_name)(*(fp_ + fq))

@@ -362,7 +362,7 @@ def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2):
     """
     import random as _random
 
-    from octopuszk_tpu.curves import bn254, jacobian as jac
+    from octopuszk_tpu.curves import bn254, group_ops as jac
     from octopuszk_tpu.fields.spec import FR
     from octopuszk_tpu.models.groth16.objects import Proof
     from octopuszk_tpu.parallel import mesh as pmesh
@@ -412,5 +412,5 @@ def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2):
 
 
 def _replicated_point_to_host(grp, p):
-    from octopuszk_tpu.curves import jacobian as jac
+    from octopuszk_tpu.curves import group_ops as jac
     return grp.points_to_host(jac._map_coords(p, lambda c: c[..., None]))[0]

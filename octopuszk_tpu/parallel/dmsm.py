@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from octopuszk_tpu.curves import jacobian as jac
+from octopuszk_tpu.curves import group_ops as jac
 from octopuszk_tpu.ops import msm
 from octopuszk_tpu.parallel.mesh import AXIS
 

@@ -130,6 +130,48 @@ def profile_bace(config, n):
            lambda: bprover.compute_proof(FR, c, inputs, n), n)
 
 
+def profile_matmul(config, n):
+    """C = A@B proof: dims chosen so constraints ~= n."""
+    import math
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    from octopuszk_tpu.relations import apps
+    dim = max(1, round(math.pow(n / 2, 1 / 3)))
+    r1cs, primary, aux = apps.matmul_construct(dim, dim, dim)
+    print(f"matmul {dim}^3: {r1cs.num_constraints} constraints", flush=True)
+    config.begin_runtime("matmul-zksnark")
+    crs = setup.setup(r1cs)
+    proof = prover.prove(crs.proving_key, primary, aux)
+    ok = verifier.verify(crs.verification_key, primary, proof)
+    dt = config.end_runtime("matmul-zksnark")
+    print(f"matmul setup+prove+verify: {dt:.3f}s ok={ok}", flush=True)
+    assert ok
+
+
+def profile_lr(config, n):
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    from octopuszk_tpu.relations import apps
+    d = max(1, n.bit_length() - 1)
+    rows = max(1, n // (d + 2))
+    r1cs, primary, aux = apps.lr_construct(rows, d)
+    print(f"lr {rows}x{d}: {r1cs.num_constraints} constraints", flush=True)
+    crs = setup.setup(r1cs)
+    proof = prover.prove(crs.proving_key, primary, aux)
+    assert verifier.verify(crs.verification_key, primary, proof)
+
+
+def profile_gaussian(config, n):
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    from octopuszk_tpu.relations import apps
+    d = max(1, n.bit_length() // 2)
+    rows = max(1, n // (d * d))
+    r1cs, primary, aux = apps.gaussian_construct(rows, d)
+    print(f"gaussian {rows}x{d}: {r1cs.num_constraints} constraints",
+          flush=True)
+    crs = setup.setup(r1cs)
+    proof = prover.prove(crs.proving_key, primary, aux)
+    assert verifier.verify(crs.verification_key, primary, proof)
+
+
 APPS = {
     "fft": profile_fft,
     "lagrange": profile_lagrange,
@@ -141,6 +183,9 @@ APPS = {
     "witness": profile_witness,
     "zksnark": profile_zksnark,
     "bace": profile_bace,
+    "matmul": profile_matmul,
+    "regression": profile_lr,
+    "gaussian": profile_gaussian,
 }
 
 

@@ -1,0 +1,50 @@
+"""Application circuit tests: matmul / linear-regression / covariance.
+
+Reference test parity: relations/MatMulTest.java:107-113 (matmul R1CS
+satisfiability incl. LR constructs).
+"""
+
+import pytest
+
+from octopuszk_tpu.fields.spec import FR
+from octopuszk_tpu.relations import apps
+from octopuszk_tpu.relations.r1cs import assignment_to_device, is_satisfied
+
+
+@pytest.mark.parametrize("dims", [(2, 3, 2), (1, 1, 1), (3, 2, 4)])
+def test_matmul_satisfied(dims):
+    n1, n2, n3 = dims
+    r1cs, primary, aux = apps.matmul_construct(n1, n2, n3, seed=41)
+    assert r1cs.is_valid()
+    z = assignment_to_device(FR, primary + aux)
+    assert bool(is_satisfied(FR, r1cs, z))
+    # tampering with C must break it
+    bad = list(primary)
+    c_pos = 1 + n1 * n2 + n2 * n3
+    bad[c_pos] = (bad[c_pos] + 1) % FR.p
+    assert not bool(is_satisfied(FR, r1cs, assignment_to_device(
+        FR, bad + aux)))
+
+
+def test_lr_satisfied():
+    r1cs, primary, aux = apps.lr_construct(4, 3, seed=42)
+    z = assignment_to_device(FR, primary + aux)
+    assert bool(is_satisfied(FR, r1cs, z))
+    bad = list(primary)
+    bad[-1] = (bad[-1] + 1) % FR.p   # rss is the last primary input
+    assert not bool(is_satisfied(FR, r1cs, assignment_to_device(
+        FR, bad + aux)))
+
+
+def test_gaussian_satisfied():
+    r1cs, primary, aux = apps.gaussian_construct(4, 2, seed=43)
+    z = assignment_to_device(FR, primary + aux)
+    assert bool(is_satisfied(FR, r1cs, z))
+
+
+def test_matmul_groth16_end_to_end():
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    r1cs, primary, aux = apps.matmul_construct(2, 2, 2, seed=44)
+    crs = setup.setup(r1cs, seed=45)
+    proof = prover.prove(crs.proving_key, primary, aux, seed=46)
+    assert verifier.verify(crs.verification_key, primary, proof)

@@ -72,7 +72,7 @@ def test_scalar_mul(rng, grp):
 
 @pytest.mark.parametrize("grp", GROUPS, ids=lambda g: g.name)
 def test_tree_reduce(rng, grp):
-    from octopuszk_tpu.curves import jacobian as jac
+    from octopuszk_tpu.curves import group_ops as jac
     ps = _rand_points(rng, grp, 7) + [None]
     a = grp.points_to_device(ps)
     got = grp.tree_reduce(a, 8)     # single point, no batch dim

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from octopuszk_tpu.curves import bn254, jacobian as jac
+from octopuszk_tpu.curves import bn254, group_ops as jac
 from octopuszk_tpu.fields.spec import FR, NUM_LIMBS
 from octopuszk_tpu.ops import msm
 from octopuszk_tpu.utils.bigint import ints_to_limbs

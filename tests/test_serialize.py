@@ -1,0 +1,42 @@
+"""CRS / proof serialization round-trip tests (the reference's documented
+checkpoint gap, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from octopuszk_tpu.models.groth16 import prover, serialize, setup, verifier
+from octopuszk_tpu.relations import construct
+
+
+def test_crs_roundtrip(tmp_path):
+    r1cs, primary, aux = construct.serial_construct(6, 2, seed=31)
+    crs = setup.setup(r1cs, seed=32)
+    path = str(tmp_path / "crs.npz")
+    serialize.save_crs(path, crs)
+    crs2 = serialize.load_crs(path)
+    # device arrays equal
+    for name in ("query_a", "query_b_g1", "query_h"):
+        a = getattr(crs.proving_key, name)
+        b = getattr(crs2.proving_key, name)
+        for ca, cb in zip(a, b):
+            assert np.array_equal(np.asarray(ca), np.asarray(cb))
+    # host values equal
+    assert crs2.proving_key.alpha_g1 == crs.proving_key.alpha_g1
+    assert crs2.verification_key.alpha_beta_gt == \
+        crs.verification_key.alpha_beta_gt
+    assert crs2.verification_key.gamma_abc_g1 == \
+        crs.verification_key.gamma_abc_g1
+    # a proof made with the loaded key verifies with the original vk
+    proof = prover.prove(crs2.proving_key, primary, aux, seed=33)
+    assert verifier.verify(crs.verification_key, primary, proof)
+
+
+def test_proof_roundtrip(tmp_path):
+    r1cs, primary, aux = construct.serial_construct(6, 2, seed=34)
+    crs = setup.setup(r1cs, seed=35)
+    proof = prover.prove(crs.proving_key, primary, aux, seed=36)
+    path = str(tmp_path / "proof.json")
+    serialize.save_proof(path, proof)
+    proof2 = serialize.load_proof(path)
+    assert (proof2.a, proof2.b, proof2.c) == (proof.a, proof.b, proof.c)
+    assert verifier.verify(crs.verification_key, primary, proof2)
