@@ -281,19 +281,38 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
     cum = group.add(at_within, at_lane)            # [B] points
     cum = group.select(valid, cum, group.infinity((B,)))
 
-    # bucket sums S_b = cum[b] - cum[b-1]  (b >= 1); slot 0 discarded
-    prev = _map_coords(cum, lambda a: jnp.concatenate(
-        [a[..., :1], a[..., :-1]], axis=-1))   # prev[0] = cum[0] -> S_0 = O
-    S = group.add(cum, group.negate(prev))
+    # Abel summation: with S_b = cum[b] - cum[b-1],
+    #   sum_b b*S_b = (B-1)*cum[B-1] - sum_{b=0}^{B-2} cum[b]
+    # (bucket 0 and empty buckets handled automatically).
+    cum_last = _map_coords(cum, lambda a: a[..., B - 1])
+    rest = _map_coords(cum, lambda a: a[..., :B - 1])
+    sum_rest = _scan_sum(group, rest, B - 1)
+    # (B-1)*cum_last = 2^c*cum_last - cum_last
+    def dbl(_, q):
+        return group.double(q)
+    shifted = jax.lax.fori_loop(0, c, dbl, cum_last)
+    weighted = group.add(shifted, group.negate(cum_last))
+    return group.add(weighted, group.negate(sum_rest))
 
-    # drop bucket 0 by forcing it to the identity
-    is_b0 = bucket_ids == U32(0)
-    S = group.select(is_b0, group.infinity((B,)), S)
 
-    # weighted reduction: T = sum_b b * S_b = sum of suffix sums R_b (b>=1)
-    R = _hs_suffix(group, S, B)
-    R = group.select(is_b0, group.infinity((B,)), R)
-    return group.tree_reduce(R, B)
+def _scan_sum(group, p, n: int, width: int = 2048):
+    """Sum n points in O(n) adds: serial scan over rows of `width` lanes,
+    then a small Hillis-Steele fold across lanes."""
+    width = min(width, n)
+    rows = -(-n // width)
+    m = rows * width
+    if m != n:
+        p, _ = _pad_pow2_to(group, p, m)
+
+    def to_rows(a):  # [L, m] -> [rows, L, width]
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (width, rows)), -1, 0)
+
+    def step(carry, row):
+        return group.add(carry, row), 0
+
+    carry0 = jac.taint_point(group.infinity((width,)), p)
+    totals, _ = jax.lax.scan(step, carry0, _map_coords(p, to_rows))
+    return group.tree_reduce(totals, width)
 
 
 def _hs_prefix(group, p, n: int):
