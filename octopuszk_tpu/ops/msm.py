@@ -177,8 +177,11 @@ def fixed_base_msm(group, base_point, scalars_raw, w: int = 8):
 # ---------------------------------------------------------------------------
 
 def _choose_c(n: int) -> int:
-    """Window width: log2(n) - log2(n)/3 clamped to [4, 16] — same shape
-    as the reference heuristic (algebra_msm_VariableBaseMSM.cu:1267-1272)."""
+    """Window width.  With the Abel-summation bucket reduction the bucket
+    phase is O(2^c) adds, so c ~ log2(n) - 4 keeps it at ~6% of the
+    accumulation work while minimizing the number of windows.  (The
+    reference's heuristic, algebra_msm_VariableBaseMSM.cu:1267-1272, is
+    log n - log n/3 — tuned for its serial bucket walk.)"""
     logn = max(1, n.bit_length() - 1)
     return max(4, min(16, logn - logn // 3))
 
@@ -254,12 +257,27 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
 
     pts_rows = _map_coords(pts, to_rows)
 
-    def step(carryp, row):
-        newc = group.add(carryp, row)
-        return newc, newc
+    from octopuszk_tpu.fields.spec import NUM_LIMBS
+    from octopuszk_tpu.ops import pallas_ops
+    # fused path: G1 only for now (the 6-coord G2 kernel trips a Mosaic
+    # compiler assert; G2 falls back to the per-row lax.scan)
+    if (pallas_ops.enabled() and lanes >= 256
+            and group.ops.group_name == "G1"):
+        # fused one-launch Pallas scan (carry in VMEM scratch)
+        flat, rebuild = pallas_ops._flatten_coords(pts_rows)
+        flat2d = tuple(a.reshape(rows * NUM_LIMBS, lanes) for a in flat)
+        pref_flat = pallas_ops.scan_accumulate(
+            group.ops.group_name, flat2d, rows, lanes)
+        pref3d = [a.reshape(rows, NUM_LIMBS, lanes) for a in pref_flat]
+        prefix_rows = rebuild(pref3d)
+        lane_totals = rebuild([a[rows - 1] for a in pref3d])
+    else:
+        def step(carryp, row):
+            newc = group.add(carryp, row)
+            return newc, newc
 
-    carry0 = jac.taint_point(group.infinity((lanes,)), pts)
-    lane_totals, prefix_rows = jax.lax.scan(step, carry0, pts_rows)
+        carry0 = jac.taint_point(group.infinity((lanes,)), pts)
+        lane_totals, prefix_rows = jax.lax.scan(step, carry0, pts_rows)
 
     def from_rows(a):  # [rows, L, lanes] -> [L, m]
         a = jnp.moveaxis(a, 0, -1)            # [L, lanes, rows]

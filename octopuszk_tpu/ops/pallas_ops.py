@@ -179,6 +179,87 @@ def double_points(group_name, p):
 
 
 # ---------------------------------------------------------------------------
+# fused bucket-accumulation scan (Pippenger inner loop)
+# ---------------------------------------------------------------------------
+
+SCAN_BLOCK = 1024
+
+
+@functools.cache
+def _scan_kernel(group_name: str, rows: int, lanes: int):
+    """One-launch EC prefix scan over [rows, lanes] sorted points.
+
+    Grid = (lanes/BL, rows) with the row axis iterating fastest; the
+    running carry lives in VMEM scratch across row steps (reset at row 0),
+    so the whole per-window accumulation is a single kernel instead of
+    `rows` sequential launches.  Emits inclusive prefixes per row plus the
+    final lane totals.
+    """
+    from octopuszk_tpu.curves import group_ops as jac
+    group, ncoords, rebuild = _group_ops(group_name)
+    BL = min(SCAN_BLOCK, lanes)
+    assert lanes % BL == 0
+
+    def kernel(*refs):
+        ins = refs[:ncoords]
+        prefix_out = refs[ncoords:2 * ncoords]
+        scratch = refs[2 * ncoords:]
+        r = pl.program_id(1)
+
+        with _unrolled():
+            @pl.when(r == 0)
+            def _():
+                # carry := identity (0, 1, 0); Montgomery one at the Y
+                # coordinate (flat index 1 for G1, 2 for G2's Y.c0)
+                onef = jnp.concatenate(
+                    [jnp.full((1, BL), int(v), jnp.uint32)
+                     for v in _one_limbs(group_name)], axis=0)
+                zero = jnp.zeros((L, BL), jnp.uint32)
+                y_idx = 1 if ncoords == 3 else 2
+                for ci, s in enumerate(scratch):
+                    s[...] = onef if ci == y_idx else zero
+
+            carry = rebuild([s[...] for s in scratch])
+            row = rebuild([x[...] for x in ins])
+            new = jac.add(group.ops, carry, row)
+            flat, _ = _flatten_coords(new)
+            for s, o, v in zip(scratch, prefix_out, flat):
+                s[...] = v
+                o[...] = v
+
+    def call(coords_rows):
+        """coords_rows: flat list of [rows*L, lanes] arrays (row-major
+        blocks of L limb-rows per scan row).  Returns inclusive prefix
+        rows in the same layout (lane totals = last prefix row)."""
+        in_spec = pl.BlockSpec((L, BL), lambda i, r: (r, i),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(lanes // BL, rows),
+            in_specs=[in_spec] * ncoords,
+            out_specs=[in_spec] * ncoords,
+            out_shape=[jax.ShapeDtypeStruct((rows * L, lanes), jnp.uint32)]
+            * ncoords,
+            scratch_shapes=[pltpu.VMEM((L, BL), jnp.uint32)] * ncoords,
+        )(*coords_rows)
+        return out
+
+    return call
+
+
+@functools.cache
+def _one_limbs(group_name: str):
+    from octopuszk_tpu.curves import bn254
+    g = bn254.G1 if group_name == "G1" else bn254.G2
+    return tuple(int(v) for v in g.ops.spec.one_mont_limbs)
+
+
+def scan_accumulate(group_name, pts_rows_flat, rows: int, lanes: int):
+    """(prefix_rows, lane_totals) for flat coord arrays [rows, L, lanes]."""
+    return _scan_kernel(group_name, rows, lanes)(pts_rows_flat)
+
+
+# ---------------------------------------------------------------------------
 # field kernels
 # ---------------------------------------------------------------------------
 
