@@ -121,3 +121,27 @@ FQ = FieldSpec(
     two_adicity=1,
     root_of_unity=21888242871839275222246405745257275088696311157297823662689037894645226208582,
 )
+
+# Small/Large non-curve test fields — the role of the reference's
+# Small/LargeFpParameters (algebra/fields/fieldparameters/): exercise the
+# generic limb kernels at different moduli.  SMALL has high 2-adicity so
+# NTT domains exist: p = 1 + 2^32 * 3 * 5 * q ... chosen 2-adicity 32.
+SMALL = FieldSpec(
+    name="small_fp",
+    p=4179340454199820289,          # 29 * 2^57 + 1, a 62-bit NTT prime
+    generator=3,
+    two_adicity=57,
+    root_of_unity=pow(3, 29, 4179340454199820289),
+)
+
+LARGE = FieldSpec(
+    name="large_fp",
+    # the BLS12-381 scalar field: a second 255-bit prime with 2-adicity 32
+    p=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    generator=7,
+    two_adicity=32,
+    root_of_unity=pow(
+        7,
+        (52435875175126190479447740508185965837690552500527637822603658699938581184513 - 1) >> 32,
+        52435875175126190479447740508185965837690552500527637822603658699938581184513),
+)

@@ -383,6 +383,67 @@ def _shift_right_inf(group, p, width):
 
 
 # ---------------------------------------------------------------------------
+# host reference algorithms (CPU; parity with the reference's Java paths)
+# ---------------------------------------------------------------------------
+
+def sorted_msm_host(group, scalars, points):
+    """Sort by scalar, multiply scalar *differences* into running suffix
+    sums: VariableBaseMSM.sortedMSM (VariableBaseMSM.java:41-56).
+    Host python-int reference algorithm."""
+    out = None
+    running = None
+    prev_s = None
+    for s, p in sorted(zip(scalars, points), key=lambda t: -t[0]):
+        if prev_s is not None and prev_s != s:
+            out = group.host.add(out, group.host.mul(running, prev_s - s))
+        running = group.host.add(running, p)
+        prev_s = s
+    if prev_s is not None:
+        out = group.host.add(out, group.host.mul(running, prev_s))
+    return out
+
+
+def bos_coster_msm_host(group, scalars, points):
+    """Bos-Coster: repeatedly reduce the two largest scalars.
+
+    VariableBaseMSM.bosCosterMSM (VariableBaseMSM.java:86-119)."""
+    import heapq
+
+    heap = [(-s, i) for i, s in enumerate(scalars) if s]
+    pts = list(points)
+    heapq.heapify(heap)
+    if not heap:
+        return None
+    while len(heap) > 1:
+        s1, i1 = heapq.heappop(heap)
+        s2, i2 = heap[0]
+        s1, s2 = -s1, -s2
+        if s2 == 0 or s1 // s2 > (1 << 20):
+            # degenerate: finish with double-and-add
+            heapq.heappush(heap, (-s1, i1))
+            acc = None
+            for s, i in heap:
+                acc = group.host.add(acc, group.host.mul(pts[i], -s))
+            return acc
+        s1 -= s2
+        pts[i2] = group.host.add(pts[i2], pts[i1])
+        if s1:
+            heapq.heappush(heap, (-s1, i1))
+    s, i = heap[0]
+    return group.host.mul(pts[i], -s)
+
+
+def double_batch_msm(g1_group, g2_group, base_g1, base_g2, scalars_raw,
+                     w: int = 8):
+    """[s_i]G1 and [s_i]G2 for the same scalars — the reference's
+    doubleBatchMSM (FixedBaseMSM.java:489-604) runs both in one GPU
+    launch; here the two fixed-base MSMs are issued back-to-back and XLA
+    overlaps them."""
+    return (fixed_base_msm(g1_group, base_g1, scalars_raw, w),
+            fixed_base_msm(g2_group, base_g2, scalars_raw, w))
+
+
+# ---------------------------------------------------------------------------
 # field "MSM" (elementwise scalar * field base)
 # ---------------------------------------------------------------------------
 
