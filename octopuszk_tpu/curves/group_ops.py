@@ -163,8 +163,10 @@ def _same_batch(p, q):
 
 def _pallas_eligible(ops, p):
     """Use the fused Pallas kernel? (TPU backend, flat [L, n] batch, not
-    already tracing inside a kernel.)"""
-    if fp.UNROLL:
+    already tracing inside a kernel.)  G1 only for now: the Fp2 (G2)
+    kernel bodies trip a Mosaic compiler assert ("limits[i] <= dim(i)");
+    G2 falls back to the XLA path."""
+    if fp.UNROLL or ops.group_name != "G1":
         return False
     c = p[0]
     while isinstance(c, tuple):

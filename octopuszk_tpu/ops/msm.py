@@ -187,8 +187,9 @@ def _choose_c(n: int) -> int:
 
 
 def _choose_lanes(n: int) -> int:
-    """Vector width for the serial bucket-accumulation scan."""
-    return min(n, 4096)
+    """Vector width for the serial bucket-accumulation scan (a power of
+    two so the fused kernel's lane blocks always divide evenly)."""
+    return min(1 << max(0, n.bit_length() - 1), 4096)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
