@@ -127,8 +127,22 @@ class _Group:
         return list(zip(*comps))
 
     def points_to_host(self, p):
-        """Jacobian batch -> list of host affine points (None = identity)."""
-        x, y, inf = jac.to_affine(self.ops, p)
+        """Point batch -> list of host affine points (None = identity).
+
+        Pads the batch to a power of two first so the jitted affine
+        conversion (254-round Fermat inversion) compiles for log-many
+        distinct shapes instead of one per call site."""
+        n = _last_dim(p)
+        m = 1 << max(0, (n - 1).bit_length())
+        if m != n:
+            import jax.numpy as _jnp
+
+            p = jac._map_coords(
+                p, lambda c: _jnp.pad(c, ((0, 0), (0, m - n))))
+        x, y, inf = self._to_affine(p)
+        x = jac._map_coords((x,), lambda c: c[..., :n])[0]
+        y = jac._map_coords((y,), lambda c: c[..., :n])[0]
+        inf = inf[..., :n]
         xs = self._coord_to_host(x)
         ys = self._coord_to_host(y)
         infs = np.asarray(inf).reshape(-1).tolist()

@@ -73,9 +73,9 @@ def make_fp2_ops(spec: FieldSpec) -> types.SimpleNamespace:
     b3c0, b3c1 = _g2_b3_limbs(spec)
 
     def mul_b3(a):
-        cc = tuple(jnp.broadcast_to(
-            x.reshape((NUM_LIMBS,) + (1,) * (a[0].ndim - 1)), a[0].shape)
-            for x in (fp.constant(b3c0), fp.constant(b3c1)))
+        # build constants at full rank (1-D limb vectors trip Mosaic)
+        tail = a[0].shape[1:]
+        cc = (fp.constant(b3c0, tail), fp.constant(b3c1, tail))
         return fp2.mul(spec, a, cc)
 
     return types.SimpleNamespace(
@@ -163,10 +163,8 @@ def _same_batch(p, q):
 
 def _pallas_eligible(ops, p):
     """Use the fused Pallas kernel? (TPU backend, flat [L, n] batch, not
-    already tracing inside a kernel.)  G1 only for now: the Fp2 (G2)
-    kernel bodies trip a Mosaic compiler assert ("limits[i] <= dim(i)");
-    G2 falls back to the XLA path."""
-    if fp.UNROLL or ops.group_name != "G1":
+    already tracing inside a kernel.)"""
+    if fp.UNROLL:
         return False
     c = p[0]
     while isinstance(c, tuple):

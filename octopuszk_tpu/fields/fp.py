@@ -58,9 +58,9 @@ def _literal_limbs(vals, trailing_shape) -> jnp.ndarray:
 def constant(spec_limbs: np.ndarray, batch_shape=()) -> jnp.ndarray:
     """Broadcast a host limb vector to a device [L, *batch] array."""
     if UNROLL:
-        return jnp.broadcast_to(
-            _literal_limbs(spec_limbs, (1,) * len(batch_shape)),
-            (L,) + tuple(batch_shape))
+        # build at full rank/shape from scalar literals: Mosaic rejects
+        # captured array constants and chokes on some broadcast patterns
+        return _literal_limbs(spec_limbs, tuple(batch_shape))
     c = jnp.asarray(spec_limbs.astype(np.uint32))
     return jnp.broadcast_to(c.reshape((L,) + (1,) * len(batch_shape)),
                             (L,) + tuple(batch_shape))

@@ -29,6 +29,8 @@ def prove(pk: ProvingKey, primary, auxiliary, seed: int = 2) -> Proof:
     r = rng.randrange(FR.p)
     s = rng.randrange(FR.p)
 
+    import jax.numpy as jnp
+
     r1cs = pk.r1cs
     n = domain_size(r1cs)
     z = assignment_to_device(FR, list(primary) + list(auxiliary))
@@ -38,17 +40,29 @@ def prove(pk: ProvingKey, primary, auxiliary, seed: int = 2) -> Proof:
     h_raw = fp.from_mont(FR, h)
     ni = r1cs.num_inputs
 
+    def padto(x, q):
+        """Zero-pad scalars to a query batch's length (setup pads queries
+        to powers of two; zero scalars contribute the identity)."""
+        want = q[0].shape[-1] if not isinstance(q[0], tuple) \
+            else q[0][0].shape[-1]
+        return jnp.pad(x, ((0, 0), (0, want - x.shape[1])))
+
     eval_a = _single_to_host(
-        bn254.G1, msm.pippenger_msm(bn254.G1, pk.query_a, z_raw))
+        bn254.G1, msm.pippenger_msm(
+            bn254.G1, pk.query_a, padto(z_raw, pk.query_a)))
     eval_b1 = _single_to_host(
-        bn254.G1, msm.pippenger_msm(bn254.G1, pk.query_b_g1, z_raw))
+        bn254.G1, msm.pippenger_msm(
+            bn254.G1, pk.query_b_g1, padto(z_raw, pk.query_b_g1)))
     eval_b2 = _single_to_host(
-        bn254.G2, msm.pippenger_msm(bn254.G2, pk.query_b_g2, z_raw))
+        bn254.G2, msm.pippenger_msm(
+            bn254.G2, pk.query_b_g2, padto(z_raw, pk.query_b_g2)))
     eval_h = _single_to_host(
-        bn254.G1, msm.pippenger_msm(bn254.G1, pk.query_h, h_raw))
+        bn254.G1, msm.pippenger_msm(
+            bn254.G1, pk.query_h, padto(h_raw, pk.query_h)))
     eval_abc = _single_to_host(
-        bn254.G1, msm.pippenger_msm(bn254.G1, pk.delta_abc_g1,
-                                    z_raw[:, ni:]))
+        bn254.G1, msm.pippenger_msm(
+            bn254.G1, pk.delta_abc_g1,
+            padto(z_raw[:, ni:], pk.delta_abc_g1)))
     g1, g2 = bn254.G1.host, bn254.G2.host
 
     # A = alpha + sum a_i A_i(t) + r*delta

@@ -26,6 +26,42 @@ def _const(x: int):
     return jnp.asarray(int_to_limbs(FR.to_mont(x % FR.p), NUM_LIMBS))
 
 
+import functools
+
+import jax
+
+
+@functools.cache
+def _setup_scalars(ni: int, m: int, bucket: int):
+    """Jitted pipeline: query scalar vectors (padded to `bucket`, raw
+    non-Montgomery limbs ready for fixed-base MSM digit extraction)."""
+
+    def pad2(x):
+        return jnp.pad(x, ((0, 0), (0, bucket - x.shape[1])))
+
+    @jax.jit
+    def run(at, bt, ct, ht, beta_c, alpha_c, ig_c, id_c, ztid_c):
+        at, bt, ct, ht = pad2(at), pad2(bt), pad2(ct), pad2(ht)
+        # abc_i = beta*At_i + alpha*Bt_i + Ct_i   (device, Montgomery)
+        abc = fp.add(
+            FR,
+            fp.add(FR,
+                   fp.mont_mul(FR, at, beta_c[:, None]),
+                   fp.mont_mul(FR, bt, alpha_c[:, None])),
+            ct)
+        gamma_abc = pad2(fp.mont_mul(FR, abc[:, :ni], ig_c[:, None]))
+        delta_abc = pad2(fp.mont_mul(FR, abc[:, ni:m], id_c[:, None]))
+        ht_scaled = fp.mont_mul(FR, ht, ztid_c[:, None])
+
+        def raw(x):
+            return fp.from_mont(FR, x)
+
+        return (raw(at), raw(bt), raw(gamma_abc), raw(delta_abc),
+                raw(ht_scaled))
+
+    return run
+
+
 def setup(r1cs, seed: int = 1) -> CRS:
     """Generate the CRS for an R1CS relation."""
     rng = random.Random(seed)
@@ -36,15 +72,11 @@ def setup(r1cs, seed: int = 1) -> CRS:
     qap = qap_instance(FR, r1cs, t)
     ni, m = qap.num_inputs, qap.num_variables
 
-    # abc_i = beta*At_i + alpha*Bt_i + Ct_i   (device, Montgomery)
-    abc = fp.add(
-        FR,
-        fp.add(FR,
-               fp.mont_mul(FR, qap.at, _const(beta)[:, None]),
-               fp.mont_mul(FR, qap.bt, _const(alpha)[:, None])),
-        qap.ct)
-    gamma_abc = fp.mont_mul(FR, abc[:, :ni], _const(inv_gamma)[:, None])
-    delta_abc = fp.mont_mul(FR, abc[:, ni:], _const(inv_delta)[:, None])
+    # pad every query-scalar vector to ONE common power-of-two bucket:
+    # padded scalars are zero ([0]G = identity points), so MSM results are
+    # unchanged while all queries (and all circuits in a size bucket)
+    # share a single compiled fixed-base/Pippenger graph per group
+    bucket = 1 << max(1, (max(m, qap.ht.shape[1]) - 1).bit_length())
 
     # random group generators (reference: g1Factory.random, SerialSetup.java:92)
     g1_gen = bn254.G1.host.mul(bn254.G1.generator_affine, rng.randrange(1, FR.p))
@@ -52,18 +84,19 @@ def setup(r1cs, seed: int = 1) -> CRS:
     g1_dev = bn254.G1.point_to_device(g1_gen)
     g2_dev = bn254.G2.point_to_device(g2_gen)
 
-    def raw(x):
-        return fp.from_mont(FR, x)
+    scal = _setup_scalars(ni, m, bucket)(
+        qap.at, qap.bt, qap.ct, qap.ht, _const(beta), _const(alpha),
+        _const(inv_gamma), _const(inv_delta),
+        _const(qap.zt * inv_delta % FR.p))
+    at_raw, bt_raw, gamma_raw, delta_raw, ht_raw = scal
 
     # fixed-base batch MSMs for all queries (FixedBaseMSM.batchMSM role)
-    query_a = msm.fixed_base_msm(bn254.G1, g1_dev, raw(qap.at))
-    query_b_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, raw(qap.bt))
-    query_b_g2 = msm.fixed_base_msm(bn254.G2, g2_dev, raw(qap.bt))
-    delta_abc_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, raw(delta_abc))
-    ht_scaled = fp.mont_mul(FR, qap.ht,
-                            _const(qap.zt * inv_delta % FR.p)[:, None])
-    query_h = msm.fixed_base_msm(bn254.G1, g1_dev, raw(ht_scaled))
-    gamma_abc_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, raw(gamma_abc))
+    query_a = msm.fixed_base_msm(bn254.G1, g1_dev, at_raw)
+    query_b_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, bt_raw)
+    query_b_g2 = msm.fixed_base_msm(bn254.G2, g2_dev, bt_raw)
+    delta_abc_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, delta_raw)
+    query_h = msm.fixed_base_msm(bn254.G1, g1_dev, ht_raw)
+    gamma_abc_g1 = msm.fixed_base_msm(bn254.G1, g1_dev, gamma_raw)
 
     alpha_g1 = bn254.G1.host.mul(g1_gen, alpha)
     beta_g1 = bn254.G1.host.mul(g1_gen, beta)
@@ -81,5 +114,5 @@ def setup(r1cs, seed: int = 1) -> CRS:
         query_h=query_h, r1cs=r1cs)
     vk = VerificationKey(
         alpha_beta_gt=alpha_beta_gt, gamma_g2=gamma_g2, delta_g2=delta_g2,
-        gamma_abc_g1=bn254.G1.points_to_host(gamma_abc_g1))
+        gamma_abc_g1=bn254.G1.points_to_host(gamma_abc_g1)[:ni])
     return CRS(proving_key=pk, verification_key=vk)

@@ -260,10 +260,7 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
 
     from octopuszk_tpu.fields.spec import NUM_LIMBS
     from octopuszk_tpu.ops import pallas_ops
-    # fused path: G1 only for now (the 6-coord G2 kernel trips a Mosaic
-    # compiler assert; G2 falls back to the per-row lax.scan)
-    if (pallas_ops.enabled() and lanes >= 256
-            and group.ops.group_name == "G1"):
+    if pallas_ops.enabled() and lanes >= 256:
         # fused one-launch Pallas scan (carry in VMEM scratch)
         flat, rebuild = pallas_ops._flatten_coords(pts_rows)
         flat2d = tuple(a.reshape(rows * NUM_LIMBS, lanes) for a in flat)

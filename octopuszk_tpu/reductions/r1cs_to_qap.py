@@ -57,11 +57,9 @@ class QAPInstance:
         return cls(*children, *aux)
 
 
-def qap_instance(spec: FieldSpec, r1cs: R1CS, t: int) -> QAPInstance:
-    """Instance map at host secret t. R1CStoQAP.R1CStoQAPRelation."""
-    n = domain_size(r1cs)
-    nc, ni, m = r1cs.num_constraints, r1cs.num_inputs, r1cs.num_variables
-    t_mont = jnp.asarray(int_to_limbs(spec.to_mont(t), NUM_LIMBS))
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _instance_core(spec: FieldSpec, r1cs: R1CS, n: int, t_mont):
+    nc, ni = r1cs.num_constraints, r1cs.num_inputs
     lag = ntt.lagrange_coeffs(spec, n, t_mont)          # [L, n]
     w = lag[:, :nc]
     at = rmatvec(spec, r1cs.a, w)
@@ -71,6 +69,15 @@ def qap_instance(spec: FieldSpec, r1cs: R1CS, t: int) -> QAPInstance:
     consist = jnp.zeros_like(at).at[:, :ni].set(lag[:, nc:nc + ni])
     at = fp.add(spec, at, consist)
     ht = ntt.powers(spec, t_mont, _next_pow2(n + 1))[:, :n + 1]
+    return at, bt, ct, ht
+
+
+def qap_instance(spec: FieldSpec, r1cs: R1CS, t: int) -> QAPInstance:
+    """Instance map at host secret t. R1CStoQAP.R1CStoQAPRelation."""
+    n = domain_size(r1cs)
+    ni, m = r1cs.num_inputs, r1cs.num_variables
+    t_mont = jnp.asarray(int_to_limbs(spec.to_mont(t), NUM_LIMBS))
+    at, bt, ct, ht = _instance_core(spec, r1cs, n, t_mont)
     zt = ntt.compute_z_at(spec, n, t)
     return QAPInstance(at=at, bt=bt, ct=ct, ht=ht, zt=zt, t=t,
                        num_inputs=ni, num_variables=m, degree=n)

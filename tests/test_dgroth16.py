@@ -17,8 +17,8 @@ from octopuszk_tpu.relations import construct
 def proven():
     assert len(jax.devices()) == 8
     mesh = pmesh.make_mesh()
-    # n >= d^2 for the 4-step NTT: nc = 2*64 - 3 -> domain 128
-    r1cs, primary, aux = construct.serial_construct(125, 3, seed=21)
+    # n >= d^2 for the 4-step NTT: nc + ni = 64 -> domain 64 = 8^2
+    r1cs, primary, aux = construct.serial_construct(61, 3, seed=21)
     sr = dgroth16.shard_r1cs(mesh, r1cs)
     crs = dgroth16.distributed_setup(mesh, sr, seed=22)
     proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,

@@ -9,7 +9,7 @@ from octopuszk_tpu.relations import construct
 
 
 def test_crs_roundtrip(tmp_path):
-    r1cs, primary, aux = construct.serial_construct(6, 2, seed=31)
+    r1cs, primary, aux = construct.serial_construct(14, 3, seed=31)
     crs = setup.setup(r1cs, seed=32)
     path = str(tmp_path / "crs.npz")
     serialize.save_crs(path, crs)
@@ -32,7 +32,7 @@ def test_crs_roundtrip(tmp_path):
 
 
 def test_proof_roundtrip(tmp_path):
-    r1cs, primary, aux = construct.serial_construct(6, 2, seed=34)
+    r1cs, primary, aux = construct.serial_construct(14, 3, seed=34)
     crs = setup.setup(r1cs, seed=35)
     proof = prover.prove(crs.proving_key, primary, aux, seed=36)
     path = str(tmp_path / "proof.json")
