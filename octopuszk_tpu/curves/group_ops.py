@@ -52,6 +52,7 @@ def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
         dbl=lambda a: fp.add(spec, a, a),
         inv=lambda a: fp.inv(spec, a),
         mul_b3=lambda a: _mul_by_9(spec, a),    # b3 = 3b = 9
+        binv=lambda a: fp.batch_inv_rows(spec, a),
         is_zero=fp.is_zero,
         eq=fp.eq,
         select=fp.select,
@@ -89,6 +90,7 @@ def make_fp2_ops(spec: FieldSpec) -> types.SimpleNamespace:
         dbl=lambda a: fp2.double(spec, a),
         inv=lambda a: fp2.inv(spec, a),
         mul_b3=mul_b3,
+        binv=lambda a: fp2.batch_inv_rows(spec, a),
         is_zero=fp2.is_zero,
         eq=fp2.eq,
         select=fp2.select,
@@ -259,6 +261,21 @@ def to_affine(ops, p):
     inf = is_infinity(ops, p)
     z_safe = ops.select(inf, ops.one(_batch_shape(X)), Z)
     zinv = ops.inv(z_safe)
+    x = ops.mul(X, zinv)
+    y = ops.mul(Y, zinv)
+    zero = ops.zero(_batch_shape(X))
+    return (ops.select(inf, zero, x), ops.select(inf, zero, y), inf)
+
+
+def to_affine_fast(ops, p):
+    """Batch projective -> affine via the O(n) two-level batched inverse
+    (fields/fp.py batch_inv_rows) — the 2^24-scale path; identical
+    semantics to ``to_affine``.  Flat [L, n] batches only."""
+    X, Y, Z = p
+    inf = is_infinity(ops, p)
+    one = ops.one(_batch_shape(X))
+    z_safe = ops.select(inf, one, Z)
+    zinv = ops.binv(z_safe)
     x = ops.mul(X, zinv)
     y = ops.mul(Y, zinv)
     zero = ops.zero(_batch_shape(X))

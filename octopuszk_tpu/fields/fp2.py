@@ -66,6 +66,15 @@ def inv(spec: FieldSpec, a):
             fp.neg(spec, fp.mont_mul(spec, a[1], d)))
 
 
+def batch_inv_rows(spec: FieldSpec, a, lanes: int = 4096):
+    """Elementwise Fp2 inverse of a flat batch in O(n) base multiplies
+    (norm trick over fp.batch_inv_rows).  inv(0) = 0."""
+    n = fp.add(spec, fp.mont_sqr(spec, a[0]), fp.mont_sqr(spec, a[1]))
+    d = fp.batch_inv_rows(spec, n, lanes)
+    return (fp.mont_mul(spec, a[0], d),
+            fp.neg(spec, fp.mont_mul(spec, a[1], d)))
+
+
 def is_zero(a):
     import jax.numpy as jnp
     return jnp.logical_and(fp.is_zero(a[0]), fp.is_zero(a[1]))

@@ -381,6 +381,320 @@ def _shift_right_inf(group, p, width):
 
 
 # ---------------------------------------------------------------------------
+# large-scale variable-base Pippenger (signed digits, packed-row gathers)
+# ---------------------------------------------------------------------------
+#
+# The sort-based path above gathers point limbs along the MINOR axis of
+# [L, n] coord tensors: on TPU every gathered element fetches a whole
+# (8, 128) tile, an ~128x read amplification (measured ~6 GB/s effective).
+# The large path re-lays points out as PACKED ROWS — u32[n, P] with the
+# affine X, Y limbs and an identity flag along the lane axis — so the
+# per-window shuffle is a row gather (~8x amplification, measured 34-79
+# GB/s), then transposes back to [L, m] for compute.  Signed windowed
+# digits halve the bucket count (B = 2^(c-1)+1), point negation is a free
+# Y-negate folded into the shuffle, and the bucket accumulation runs as
+# the fused Pallas MIXED-add scan (affine rows into a projective carry:
+# 11M vs 12M, 2/3 the scan input traffic).  Chunking bounds transient HBM
+# (the reference bounds its JNI batches the same way at 2^21-2^23,
+# FixedBaseMSM.java:200,257,510).
+#
+# Reference parity: VariableBaseMSM.serialMSM -> pippengerMSMG1
+# (algebra_msm_VariableBaseMSM.cu:1246-1431); the signed-digit/row-pack/
+# mixed-add design is TPU-specific.
+
+
+def _signed_digits(scalars_raw, c: int, num_win: int):
+    """Signed windowed digits: magnitudes in [0, 2^(c-1)] and sign bits.
+
+    d_j in (-2^(c-1), 2^(c-1)]: if the raw c-bit digit (plus carry) is
+    > 2^(c-1) it becomes d - 2^c and carries 1 into the next window.
+    Requires num_win*c >= 255 so the final carry is absorbed.
+    """
+    assert num_win * c >= 255, (num_win, c)
+    digits = _digits(scalars_raw, c, num_win)
+    half = U32(1 << (c - 1))
+    full = U32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros_like(digits[0])
+    for j in range(num_win):
+        d = digits[j] + carry
+        go = d > half
+        mags.append(jnp.where(go, full - d, d))
+        carry = go.astype(jnp.uint32)
+        negs.append(carry)
+    return jnp.stack(mags), jnp.stack(negs)
+
+
+def _affine_flat(group, x, y):
+    """Affine coord pytrees -> flat list of [L, n] arrays (X then Y)."""
+    flat = []
+    for coord in (x, y):
+        if isinstance(coord, tuple):
+            flat.extend(coord)
+        else:
+            flat.append(coord)
+    return flat
+
+
+def _points_per_row(group) -> int:
+    """Points per packed 128-lane row: 4 for G1 (32 limb lanes each),
+    2 for G2 (64)."""
+    return 128 // (2 * group.coord_dim * NUM_LIMBS)
+
+
+def pack_affine_rows(group, x, y):
+    """Pack affine points into u32[n/ppr, 128] gather rows.
+
+    Each row holds ``ppr`` consecutive points (their X then Y limb
+    vectors along the lane axis).  128 u32 lanes = exactly one (8, 128)
+    tile row, so the packed base has ZERO tile-padding waste — at 2^24
+    the G1 base is 2 GB resident instead of the 8 GB a [n, 64] layout
+    physically occupies.  The identity encodes as (0, 0) — no odd-order
+    subgroup point has Y = 0.
+    """
+    flat = _affine_flat(group, x, y)
+    stacked = jnp.concatenate(flat, axis=0)              # [C, n]
+    C, n = stacked.shape
+    ppr = 128 // C
+    assert n % ppr == 0, (n, ppr)
+    # [C, n] -> [C, n/ppr, ppr] -> [n/ppr, ppr, C] -> [n/ppr, 128]
+    return jnp.moveaxis(stacked.reshape(C, n // ppr, ppr), 0, -1).reshape(
+        n // ppr, 128)
+
+
+def points_to_packed(group, points, pad_to: int | None = None):
+    """Projective point batch -> packed rows u32[pad_to/ppr, 128].
+
+    Affine conversion via the O(n) two-level batched inverse; padding
+    appends identity points ((0, 0) encoding).
+    """
+    n = _batch_n(points)
+    x, y, inf = jac.to_affine_fast(group.ops, points)
+    del inf   # identity already landed as (0, 0)
+    if pad_to is not None and pad_to != n:
+        x, y = (_map_coords((x, y), lambda a: jnp.pad(
+            a, ((0, 0), (0, pad_to - n)))))
+    return pack_affine_rows(group, x, y)
+
+
+def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
+                      rows: int):
+    """One signed-digit Pippenger window over packed rows -> one point.
+
+    ``d_sorted``/``idx2s``: this window's pre-sorted bucket magnitudes and
+    (index << 1 | negbit) payloads (sorts for all windows are batched into
+    one lax.sort call by the caller).
+    """
+    from octopuszk_tpu.fields import fp
+    from octopuszk_tpu.ops import pallas_ops
+
+    m = d_sorted.shape[0]
+    B = (1 << (c - 1)) + 1             # bucket ids 0..2^(c-1); 0 = skip
+    cd = group.coord_dim
+    spec = group.ops.spec
+    C = 2 * cd * NUM_LIMBS             # limb lanes per point
+    ppr = 128 // C                     # points per packed row
+
+    order = (idx2s >> 1).astype(jnp.int32)
+    negb = (idx2s & 1) != 0
+
+    g = packed[order // ppr]            # [m, 128] row gather
+    if ppr > 1:
+        # select this point's sub-block: fold over the bits of (order%ppr)
+        g = g.reshape(m, ppr, C)
+        sub = order % ppr
+        half = ppr
+        while half > 1:
+            half //= 2
+            lo = g[:, :half]
+            hi = g[:, half:]
+            take_hi = (sub & half) != 0
+            g = jnp.where(take_hi[:, None, None], hi, lo)
+        g = g.reshape(m, C)
+
+    t = g.T                             # [C, m]
+    coords = [jax.lax.slice_in_dim(t, i * NUM_LIMBS, (i + 1) * NUM_LIMBS,
+                                   axis=0) for i in range(2 * cd)]
+    # signed digit => negate Y (free: folded into the shuffle epilogue).
+    # The identity encodes as (0, 0) — no odd-order subgroup point has
+    # Y = 0 — and fp.neg(0) = 0 keeps that encoding.
+    for i in range(cd, 2 * cd):
+        coords[i] = jnp.where(negb, fp.neg(spec, coords[i]), coords[i])
+
+    def to_rows(a):  # [L, m] -> [rows, L, lanes]
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, rows)), -1, 0)
+
+    if pallas_ops.enabled() and lanes >= 128:
+        aff_flat = [to_rows(a).reshape(rows * NUM_LIMBS, lanes)
+                    for a in coords]
+        pref_flat = pallas_ops.scan_accumulate_mixed(
+            group.ops.group_name, aff_flat, rows, lanes)
+        pref3d = [a.reshape(rows, NUM_LIMBS, lanes) for a in pref_flat]
+        _, _, rebuild = pallas_ops._group_ops(group.ops.group_name)
+        prefix_rows = rebuild(pref3d)
+        lane_totals = rebuild([a[rows - 1] for a in pref3d])
+    else:
+        # XLA fallback: lax.scan of mixed adds (CPU tests / no-Pallas)
+        if cd == 1:
+            q_aff = (coords[0], coords[1])
+            ymax = coords[1]
+        else:
+            q_aff = ((coords[0], coords[1]), (coords[2], coords[3]))
+            ymax = coords[2] | coords[3]
+        infm = jnp.max(ymax, axis=0) == U32(0)
+        q_rows = _map_coords(q_aff, to_rows)
+        inf_rows = jnp.moveaxis(infm.reshape(lanes, rows), -1, 0)
+
+        def step(carryp, xs):
+            row, im = xs
+            newc = jac.mixed_add(group.ops, carryp, row, q_inf_mask=im)
+            return newc, newc
+
+        carry0 = jac.taint_point(group.infinity((lanes,)), q_aff)
+        lane_totals, prefix_rows = jax.lax.scan(
+            step, carry0, (q_rows, inf_rows))
+
+    def from_rows(a):  # [rows, L, lanes] -> [L, m]
+        a = jnp.moveaxis(a, 0, -1)
+        return a.reshape(a.shape[:-2] + (m,))
+
+    prefix_within = _map_coords(prefix_rows, from_rows)
+    incl = _hs_prefix(group, lane_totals, lanes)
+    excl = _shift_right_inf(group, incl, lanes)
+
+    bucket_ids = jax.lax.broadcasted_iota(U32, (B, 1), 0)[:, 0]
+    e = jnp.searchsorted(d_sorted, bucket_ids, side="right").astype(I32) - 1
+    valid = e >= 0
+    eg = jnp.maximum(e, 0)
+    at_within = _map_coords(prefix_within, lambda a: a[..., eg])
+    at_lane = _map_coords(excl, lambda a: a[..., eg // rows])
+    cum = group.add(at_within, at_lane)
+    cum = group.select(valid, cum, group.infinity((B,)))
+
+    # Abel: sum_b b*S_b = M*cum[M] - sum_{b<M} cum[b],  M = 2^(c-1)
+    cum_last = _map_coords(cum, lambda a: a[..., B - 1])
+    rest = _map_coords(cum, lambda a: a[..., :B - 1])
+    sum_rest = _scan_sum(group, rest, B - 1)
+
+    def dbl(_, q):
+        return group.double(q)
+
+    shifted = jax.lax.fori_loop(0, c - 1, dbl, cum_last)
+    return group.add(shifted, group.negate(sum_rest))
+
+
+def _choose_c_large(chunk_m: int) -> int:
+    """Signed-window width: bucket phase ~2*2^(c-1) adds per window-chunk
+    vs chunk_m scan adds; c = log2(chunk_m) - 4 keeps it ~6%."""
+    return max(8, min(17, chunk_m.bit_length() - 1 - 4))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _msm_large_packed(group, packed, scalars_raw, num_win: int, c: int,
+                      lanes: int, rows: int):
+    """packed u32[m_total, P] (identity-padded), scalars u32[L, m_total]
+    -> one point.  One compiled window pipeline (lax.scan over chunks and
+    windows)."""
+    ppr = _points_per_row(group)
+    m_total = packed.shape[0] * ppr
+    chunk_m = lanes * rows
+    num_chunks = m_total // chunk_m
+    packed_chunks = packed.reshape(num_chunks, chunk_m // ppr, 128)
+    # scalars stay raw until inside the chunk body: digit tensors for all
+    # windows at once would cost 2 * num_win * m_total bytes of HBM
+    scalars_chunks = jnp.moveaxis(
+        scalars_raw.reshape(NUM_LIMBS, num_chunks, chunk_m), 1, 0)
+
+    def chunk_body(acc, xs):
+        packed_c, sc_c = xs
+        mag_c, neg_c = _signed_digits(sc_c, c, num_win)
+        # ONE batched sort for all windows of this chunk
+        iota2 = (jax.lax.broadcasted_iota(U32, (num_win, chunk_m), 1)
+                 << 1) | neg_c
+        d_sorted, idx2s = jax.lax.sort(
+            (mag_c, iota2), dimension=1, num_keys=1)
+
+        def win_body(_, wxs):
+            ds_w, ix_w = wxs
+            return 0, _window_msm_mixed(
+                group, packed_c, ds_w, ix_w, c, lanes, rows)
+
+        _, wpts = jax.lax.scan(win_body, 0, (d_sorted, idx2s))
+        wpts = _map_coords(wpts, lambda a: jnp.moveaxis(a, 0, -1))
+        return group.add(acc, wpts), None
+
+    acc0 = jac.taint_point(group.infinity((num_win,)), packed_chunks,
+                           scalars_chunks)
+    window_results, _ = jax.lax.scan(
+        chunk_body, acc0, (packed_chunks, scalars_chunks))
+
+    def combine(j, acc):
+        idx = num_win - 1 - j
+        wj = _map_coords(window_results, lambda a: a[..., idx])
+
+        def dbl(_, p):
+            return group.double(p)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return group.add(acc, wj)
+
+    accf = jac.taint_point(group.infinity(()), window_results)
+    return jax.lax.fori_loop(0, num_win, combine, accf)
+
+
+def pippenger_msm_large(group, points, scalars_raw, c: int | None = None,
+                        lanes: int | None = None, chunk_log: int = 21):
+    """Large variable-base MSM: signed digits + packed-row shuffles +
+    fused mixed-add scans, chunked to bound transient HBM."""
+    n = _batch_n(points)
+    packed = _prep_packed(group, points, _msm_pad_to(group, n, lanes,
+                                                     chunk_log))
+    return pippenger_msm_packed(group, packed, scalars_raw, c, lanes,
+                                chunk_log)
+
+
+def _msm_pad_to(group, n, lanes, chunk_log):
+    num_chunks = max(1, -(-n // (1 << chunk_log)))
+    if lanes is None:
+        lanes = min(1 << max(0, (n // num_chunks).bit_length() - 1), 4096)
+    chunk_m = lanes * (-(-n // (num_chunks * lanes)))
+    return num_chunks * chunk_m
+
+
+def pippenger_msm_packed(group, packed, scalars_raw,
+                         c: int | None = None, lanes: int | None = None,
+                         chunk_log: int = 21):
+    """Variable-base MSM over a pre-packed base (``points_to_packed``).
+
+    The packed form is the natural at-rest layout for CRS query vectors —
+    pack once at setup, reuse across proofs (the reference re-marshals
+    Java arrays into JNI buffers per call instead).
+    """
+    ppr = _points_per_row(group)
+    n = packed.shape[0] * ppr
+    num_chunks = max(1, -(-n // (1 << chunk_log)))
+    if lanes is None:
+        lanes = min(1 << max(0, (n // num_chunks).bit_length() - 1), 4096)
+    chunk_m = lanes * (-(-n // (num_chunks * lanes)))
+    rows = chunk_m // lanes
+    m_total = num_chunks * chunk_m
+    assert m_total == n, (m_total, n)   # packed bases are pre-padded
+    if scalars_raw.shape[1] != m_total:
+        scalars_raw = jnp.pad(
+            scalars_raw, ((0, 0), (0, m_total - scalars_raw.shape[1])))
+    if c is None:
+        c = _choose_c_large(chunk_m)
+    num_win = -(-255 // c)
+    return _msm_large_packed(group, packed, scalars_raw, num_win, c,
+                             lanes, rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _prep_packed(group, points, pad_to: int):
+    return points_to_packed(group, points, pad_to=pad_to)
+
+
+# ---------------------------------------------------------------------------
 # host reference algorithms (CPU; parity with the reference's Java paths)
 # ---------------------------------------------------------------------------
 

@@ -37,16 +37,17 @@ def powers(spec: FieldSpec, base_mont, n: int):
 
     ``base_mont`` is a single element uint32[L] (Montgomery).  Built by
     log2(n) doubling steps: P_{2k} = [P_k, P_k * g^k] — n total mults in
-    log depth.
+    log depth.  Any n >= 1 is accepted (non-powers of two build to the
+    next power of two and slice).
     """
-    assert n & (n - 1) == 0 and n >= 1
+    assert n >= 1
     out = fp.constant(spec.one_mont_limbs, (1,))
     cur = base_mont  # invariant: cur == g^(current length of out)
     while out.shape[1] < n:
         shifted = fp.mont_mul(spec, out, cur[:, None])
         out = jnp.concatenate([out, shifted], axis=1)
         cur = fp.mont_mul(spec, cur[:, None], cur[:, None])[:, 0]
-    return out
+    return out[:, :n]
 
 
 def _stage_indices(n: int, s: int, dif: bool):
@@ -147,7 +148,7 @@ def intt(spec: FieldSpec, evals):
 
 def powers_batched(spec: FieldSpec, bases, n: int):
     """bases uint32[L, B] -> uint32[L, n, B] with out[:, i, b] = base_b^i."""
-    assert n & (n - 1) == 0
+    assert n >= 1
     B = bases.shape[1]
     out = fp.constant(spec.one_mont_limbs, (1, B))
     cur = bases  # invariant: cur == base^(current length of out)
@@ -155,7 +156,7 @@ def powers_batched(spec: FieldSpec, bases, n: int):
         shifted = fp.mont_mul(spec, out, cur[:, None, :])
         out = jnp.concatenate([out, shifted], axis=1)
         cur = fp.mont_mul(spec, cur, cur)
-    return out
+    return out[:, :n]
 
 
 def ntt_batched(spec: FieldSpec, x, inverse: bool = False):

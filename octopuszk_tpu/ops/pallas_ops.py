@@ -46,6 +46,19 @@ def enabled() -> bool:
     return platform not in ("cpu",)
 
 
+@functools.cache
+def interpret_mode() -> bool:
+    """True when kernels should run under pallas interpret mode (CPU CI
+    coverage of the Mosaic-facing code paths — no TPU needed)."""
+    return os.environ.get("OCTOPUSZK_PALLAS") == "interpret"
+
+
+def reset_mode_caches():
+    """Re-read OCTOPUSZK_PALLAS (tests toggle it via monkeypatch)."""
+    enabled.cache_clear()
+    interpret_mode.cache_clear()
+
+
 class _unrolled:
     def __enter__(self):
         self._old = fp.UNROLL
@@ -112,6 +125,7 @@ def pointwise_kernel(fn, n_in: int, n_out: int):
             in_specs=[spec] * n_in,
             out_specs=[spec] * n_out,
             out_shape=[jax.ShapeDtypeStruct((L, np_), jnp.uint32)] * n_out,
+            interpret=interpret_mode(),
         )(*padded)
         if np_ != n:
             out = [o[:, :n] for o in out]
@@ -241,6 +255,7 @@ def _scan_kernel(group_name: str, rows: int, lanes: int):
             out_shape=[jax.ShapeDtypeStruct((rows * L, lanes), jnp.uint32)]
             * ncoords,
             scratch_shapes=[pltpu.VMEM((L, BL), jnp.uint32)] * ncoords,
+            interpret=interpret_mode(),
         )(*coords_rows)
         return out
 
@@ -257,6 +272,89 @@ def _one_limbs(group_name: str):
 def scan_accumulate(group_name, pts_rows_flat, rows: int, lanes: int):
     """(prefix_rows, lane_totals) for flat coord arrays [rows, L, lanes]."""
     return _scan_kernel(group_name, rows, lanes)(pts_rows_flat)
+
+
+@functools.cache
+def _scan_mixed_kernel(group_name: str, rows: int, lanes: int):
+    """EC prefix scan with AFFINE row inputs (RCB mixed add, 11M vs 12M,
+    and 2/3 the input HBM traffic of the projective scan).
+
+    Inputs: 2*coord_dim flat affine coord arrays [rows*L, lanes].  The
+    identity is encoded as (0, 0): no point of the odd-order G1/G2
+    subgroups has Y = 0 (a Y=0 point would be 2-torsion), so the kernel
+    derives the skip mask from Y's limbs — no separate mask operand,
+    whose (1, BL) blocks Mosaic rejects anyway.  The projective running
+    carry lives in VMEM scratch; emits inclusive projective prefixes.
+    """
+    from octopuszk_tpu.curves import group_ops as jac
+    group, ncoords, rebuild = _group_ops(group_name)
+    naff = 2 * group.coord_dim
+    if group.coord_dim == 1:
+        def rebuild_aff(arrs):
+            return (arrs[0], arrs[1])
+    else:
+        def rebuild_aff(arrs):
+            return ((arrs[0], arrs[1]), (arrs[2], arrs[3]))
+    BL = min(SCAN_BLOCK, lanes)
+    assert lanes % BL == 0
+
+    def kernel(*refs):
+        ins = refs[:naff]
+        prefix_out = refs[naff:naff + ncoords]
+        scratch = refs[naff + ncoords:]
+        r = pl.program_id(1)
+
+        with _unrolled():
+            @pl.when(r == 0)
+            def _():
+                onef = jnp.concatenate(
+                    [jnp.full((1, BL), int(v), jnp.uint32)
+                     for v in _one_limbs(group_name)], axis=0)
+                zero = jnp.zeros((L, BL), jnp.uint32)
+                y_idx = 1 if ncoords == 3 else 2
+                for ci, s in enumerate(scratch):
+                    s[...] = onef if ci == y_idx else zero
+
+            carry = rebuild([s[...] for s in scratch])
+            aff = [x[...] for x in ins]
+            q_aff = rebuild_aff(aff)
+            # Y == 0 across all limbs (and both Fp2 components) => identity
+            ymax = aff[naff // 2]
+            for yc in aff[naff // 2 + 1:]:
+                ymax = ymax | yc
+            # int32 view: Mosaic lacks unsigned reductions (limbs < 2^16)
+            q_inf = jnp.max(ymax.astype(jnp.int32), axis=0,
+                            keepdims=True) == jnp.int32(0)
+            new = jac.mixed_add(group.ops, carry, q_aff, q_inf_mask=q_inf)
+            flat, _ = _flatten_coords(new)
+            for s, o, v in zip(scratch, prefix_out, flat):
+                s[...] = v
+                o[...] = v
+
+    def call(aff_rows_flat):
+        """aff_rows_flat: naff arrays [rows*L, lanes].  Returns ncoords
+        projective prefix arrays [rows*L, lanes] (inclusive; lane totals
+        = last prefix row)."""
+        in_spec = pl.BlockSpec((L, BL), lambda i, r: (r, i),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(lanes // BL, rows),
+            in_specs=[in_spec] * naff,
+            out_specs=[in_spec] * ncoords,
+            out_shape=[jax.ShapeDtypeStruct((rows * L, lanes), jnp.uint32)]
+            * ncoords,
+            scratch_shapes=[pltpu.VMEM((L, BL), jnp.uint32)] * ncoords,
+            interpret=interpret_mode(),
+        )(*aff_rows_flat)
+        return out
+
+    return call
+
+
+def scan_accumulate_mixed(group_name, aff_rows_flat, rows: int, lanes: int):
+    """Projective prefix rows for affine inputs (see _scan_mixed_kernel)."""
+    return _scan_mixed_kernel(group_name, rows, lanes)(aff_rows_flat)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+
 from octopuszk_tpu.fields.spec import FieldSpec, FR
 from octopuszk_tpu.relations.r1cs import R1CS, make_sparse
 
@@ -32,42 +34,39 @@ def serial_construct(num_constraints: int, num_inputs: int,
     a = rng.randrange(p)
     b = rng.randrange(p)
     assignment = [1, a, b]
-
-    rows_a, cols_a, vals_a = [], [], []
-    rows_b, cols_b, vals_b = [], [], []
-    rows_c, cols_c, vals_c = [], [], []
-
+    res = (a + b) % p
     for i in range(num_constraints - 1):
-        if i % 2 != 0:
-            # a * b = c
-            rows_a.append(i); cols_a.append(i + 1); vals_a.append(1)
-            rows_b.append(i); cols_b.append(i + 2); vals_b.append(1)
-            rows_c.append(i); cols_c.append(i + 3); vals_c.append(1)
-            tmp = a * b % p
-        else:
-            # (a + b) * 1 = c
-            rows_a.append(i); cols_a.append(i + 1); vals_a.append(1)
-            rows_a.append(i); cols_a.append(i + 2); vals_a.append(1)
-            rows_b.append(i); cols_b.append(0); vals_b.append(1)
-            rows_c.append(i); cols_c.append(i + 3); vals_c.append(1)
-            tmp = (a + b) % p
+        tmp = a * b % p if i % 2 != 0 else (a + b) % p
         a, b = b, tmp
         assignment.append(tmp)
-
-    # final dense constraint: (sum_{i=1}^{numVars-2} z_i)^2 = z_{numVars-1}
-    last = num_constraints - 1
-    res = 0
-    for i in range(1, num_vars - 1):
-        rows_a.append(last); cols_a.append(i); vals_a.append(1)
-        rows_b.append(last); cols_b.append(i); vals_b.append(1)
-        res = (res + assignment[i]) % p
-    rows_c.append(last); cols_c.append(num_vars - 1); vals_c.append(1)
+        res = (res + tmp) % p
+    # res = sum_{i=1}^{numVars-2} z_i = a0 + b0 + all chain values
     assignment.append(res * res % p)
 
+    # matrices as vectorized index patterns (the chain structure):
+    #   even i: (z_{i+1} + z_{i+2}) * 1       = z_{i+3}
+    #   odd  i:  z_{i+1} * z_{i+2}            = z_{i+3}
+    #   last:   (sum z_1..z_{nv-2})^2         = z_{nv-1}
+    i = np.arange(num_constraints - 1, dtype=np.int64)
+    even = i % 2 == 0
+    last = num_constraints - 1
+    dense = np.arange(1, num_vars - 1, dtype=np.int64)
+    lastrow = np.full(dense.shape, last, dtype=np.int64)
+
+    rows_a = np.concatenate([i, i[even], lastrow])
+    cols_a = np.concatenate([i + 1, i[even] + 2, dense])
+    rows_b = np.concatenate([i, lastrow])
+    cols_b = np.concatenate([np.where(even, 0, i + 2), dense])
+    rows_c = np.concatenate([i, [last]])
+    cols_c = np.concatenate([i + 3, [num_vars - 1]])
+
     r1cs = R1CS(
-        a=make_sparse(spec, rows_a, cols_a, vals_a, num_constraints, num_vars),
-        b=make_sparse(spec, rows_b, cols_b, vals_b, num_constraints, num_vars),
-        c=make_sparse(spec, rows_c, cols_c, vals_c, num_constraints, num_vars),
+        a=make_sparse(spec, rows_a, cols_a, np.ones(len(rows_a), np.int64),
+                      num_constraints, num_vars),
+        b=make_sparse(spec, rows_b, cols_b, np.ones(len(rows_b), np.int64),
+                      num_constraints, num_vars),
+        c=make_sparse(spec, rows_c, cols_c, np.ones(len(rows_c), np.int64),
+                      num_constraints, num_vars),
         num_constraints=num_constraints,
         num_inputs=num_inputs,
         num_variables=num_vars)

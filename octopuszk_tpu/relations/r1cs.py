@@ -87,12 +87,19 @@ def _chunk_ids(sorted_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def make_sparse(spec: FieldSpec, rows, cols, vals, num_rows: int,
                 num_cols: int) -> SparseMatrix:
-    """Build a SparseMatrix from host lists (vals = raw python ints)."""
+    """Build a SparseMatrix from host arrays/lists (vals = raw ints).
+
+    Vectorized: synthetic circuits draw values from a handful of distinct
+    constants (1, p-1, public matrix entries), so Montgomery conversion
+    runs once per distinct value and fans out with a numpy gather —
+    2^24-constraint construction stays seconds, not minutes (the role of
+    the reference's parallelConstruct/Indexer machinery,
+    R1CSConstruction.java:116-505, 789-1014).
+    """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     order = np.argsort(rows, kind="stable")
     rows, cols = rows[order], cols[order]
-    vals = [vals[i] for i in order]
     row_chunk, row_chunk_seg = _chunk_ids(rows)
     # for the transpose: sort a copy by col
     corder = np.argsort(cols, kind="stable")
@@ -101,8 +108,18 @@ def make_sparse(spec: FieldSpec, rows, cols, vals, num_rows: int,
     # map back: col_chunk[i] = chunk id of entry i in col-sorted order
     col_chunk = np.empty(len(cols), dtype=np.int32)
     col_chunk[corder] = cc
-    val_limbs = ints_to_limbs([spec.to_mont(v % spec.p) for v in vals],
-                              NUM_LIMBS)
+    if isinstance(vals, np.ndarray) and vals.dtype != object:
+        vals_arr = vals.astype(object)[order]
+    else:
+        vals_arr = np.asarray(list(vals), dtype=object)[order]
+    uniq, inv = np.unique(vals_arr, return_inverse=True)
+    if len(uniq) * 4 <= len(vals_arr):
+        uniq_limbs = np.asarray(ints_to_limbs(
+            [spec.to_mont(int(v) % spec.p) for v in uniq], NUM_LIMBS))
+        val_limbs = uniq_limbs[:, inv]
+    else:
+        val_limbs = ints_to_limbs(
+            [spec.to_mont(int(v) % spec.p) for v in vals_arr], NUM_LIMBS)
     return SparseMatrix(
         row=jnp.asarray(rows.astype(np.int32)),
         col=jnp.asarray(cols.astype(np.int32)),
