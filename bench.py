@@ -7,7 +7,14 @@ line.  ``vs_baseline`` is measured against 1e6 points/s — a conservative
 estimate for the reference's CGBN Pippenger on its sm_86 target (no
 concrete number is published; see BASELINE.md).
 
+The MSM runs the large-scale packed path (ops/msm.py): signed windowed
+digits, packed-row affine gathers, fused Pallas mixed-add scans, chunked
+to bound transient HBM.  The base is packed once up front — the CRS
+at-rest layout a prover would hold.
+
 Usage: python bench.py [log2_size] [--prove]
+  default: variable-base G1 MSM at 2^24 (the BASELINE.md tracked size)
+  --prove: end-to-end Groth16 prove wall time at 2^log2_size constraints
 """
 
 import json
@@ -27,27 +34,43 @@ def rand_scalars(n, bits=253, seed=0):
     return jnp.asarray(limbs)
 
 
-def bench_vmsm(log2n: int):
+def gen_packed_points(g1, log2n: int, seed: int = 1):
+    """n pseudo-random G1 points as packed affine rows, built on device in
+    2^22-point chunks: [k_i]G via fixed-base MSM, then pack."""
     import jax
+    import jax.numpy as jnp
+    from octopuszk_tpu.ops import msm
+
+    n = 1 << log2n
+    gen = g1.point_to_device(g1.generator_affine)
+    chunk = min(n, 1 << 22)
+    packs = []
+    for i in range(n // chunk):
+        pts = msm.fixed_base_msm(g1, gen, rand_scalars(chunk, seed=seed + i))
+        packs.append(msm.points_to_packed(g1, pts, pad_to=chunk))
+        del pts
+    packed = jnp.concatenate(packs, axis=0) if len(packs) > 1 else packs[0]
+    jax.block_until_ready(packed)
+    return packed
+
+
+def bench_vmsm(log2n: int):
     from octopuszk_tpu.curves import bn254
     from octopuszk_tpu.ops import msm
 
     n = 1 << log2n
     g1 = bn254.G1
-    # generate n pseudo-random points on device: [k_i] G via fixed-base MSM
-    pts = msm.fixed_base_msm(
-        g1, g1.point_to_device(g1.generator_affine),
-        rand_scalars(n, seed=1))
-    np.asarray(pts[0])  # materialize (block_until_ready is unreliable on
-    scalars = rand_scalars(n, seed=2)  # the tunneled platform)
+    packed = gen_packed_points(g1, log2n)
+    scalars = rand_scalars(n, seed=101)
+    np.asarray(scalars[0])  # materialize
 
     def run():
-        r = msm.pippenger_msm(g1, pts, scalars)
+        r = msm.pippenger_msm_packed(g1, packed, scalars)
         np.asarray(r[0])  # host copy forces full execution
         return r
 
     run()  # warmup/compile
-    iters = 3 if log2n <= 20 else 1
+    iters = 3 if log2n <= 20 else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         run()
@@ -62,7 +85,8 @@ def bench_vmsm(log2n: int):
 
 
 def bench_prove(log2c: int):
-    """Secondary: end-to-end Groth16 prove wall time."""
+    """Secondary: end-to-end Groth16 prove wall time at 2^log2c
+    constraints (the reference CI scale, SerialzkSNARKTest.java:141-150)."""
     from octopuszk_tpu.models.groth16 import prover, setup
     from octopuszk_tpu.relations import construct
 
@@ -83,8 +107,7 @@ def bench_prove(log2c: int):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    log2n = int(args[0]) if args else 20
     if "--prove" in sys.argv:
-        print(json.dumps(bench_prove(log2n)))
+        print(json.dumps(bench_prove(int(args[0]) if args else 20)))
     else:
-        print(json.dumps(bench_vmsm(log2n)))
+        print(json.dumps(bench_vmsm(int(args[0]) if args else 24)))

@@ -8,22 +8,25 @@ distributed over a `jax.sharding.Mesh` in place of Spark RDDs.
 """
 
 import os
-import platform
 
 import jax
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
-# recompile identically across runs (tests, profiler sweeps, benches).
-# The dir is scoped by hostname: XLA:CPU AOT artifacts embed the compile
-# machine's CPU features and are rejected (slowly, with error spam) when
-# loaded on a different host.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser(
-            f"~/.cache/octopuszk_tpu_jax_{platform.node() or 'host'}")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# recompile identically across runs (tests, profiler sweeps, benches) —
+# but ONLY for accelerator platforms.  XLA:CPU AOT cache entries embed
+# LLVM tuning pseudo-features (+prefer-no-gather/+prefer-no-scatter) that
+# the loader then rejects as unsupported "machine features" EVEN ON THE
+# MACHINE THAT WROTE THEM, so on CPU every cache hit fails slowly with
+# error spam and recompiles anyway; and this fleet shares one hostname
+# ("vm"), so hostname-scoped dirs poison each other across machines.
+_plats = os.environ.get("JAX_PLATFORMS", "").lower()
+if _plats and "cpu" not in _plats:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/octopuszk_tpu_jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 __version__ = "0.1.0"

@@ -29,11 +29,12 @@ def _last_dim(p):
 class _Group:
     """One device group: ops adapter + host conversions."""
 
-    def __init__(self, name, ops, gen_affine, coord_dim, host):
+    def __init__(self, name, ops, gen_affine, coord_dim, host, fq=FQ):
         import jax
 
         self.name = name
         self.ops = ops
+        self.fq = fq
         self.generator_affine = gen_affine
         self.coord_dim = coord_dim  # 1 for Fp (G1), 2 for Fp2 (G2)
         self.host = host            # host_curve function namespace
@@ -90,9 +91,9 @@ class _Group:
         """list over components of list of ints -> coord pytree."""
         if self.coord_dim == 1:
             return jnp.asarray(ints_to_limbs(
-                [FQ.to_mont(v) for v in vals_per_component[0]], NUM_LIMBS))
+                [self.fq.to_mont(v) for v in vals_per_component[0]], NUM_LIMBS))
         return tuple(
-            jnp.asarray(ints_to_limbs([FQ.to_mont(v) for v in comp],
+            jnp.asarray(ints_to_limbs([self.fq.to_mont(v) for v in comp],
                                       NUM_LIMBS))
             for comp in vals_per_component)
 
@@ -112,17 +113,17 @@ class _Group:
         Y = self._coord_to_dev(ys)
         if self.coord_dim == 1:
             Z = jnp.asarray(ints_to_limbs(
-                [FQ.to_mont(z) for z in zs_int], NUM_LIMBS))
+                [self.fq.to_mont(z) for z in zs_int], NUM_LIMBS))
         else:
             Z = (jnp.asarray(ints_to_limbs(
-                    [FQ.to_mont(z) for z in zs_int], NUM_LIMBS)),
+                    [self.fq.to_mont(z) for z in zs_int], NUM_LIMBS)),
                  jnp.asarray(np.zeros((NUM_LIMBS, n), dtype=np.uint32)))
         return (X, Y, Z)
 
     def _coord_to_host(self, coord):
         if self.coord_dim == 1:
-            return [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(coord))]
-        comps = [[FQ.from_mont(v) for v in limbs_to_ints(np.asarray(c))]
+            return [self.fq.from_mont(v) for v in limbs_to_ints(np.asarray(coord))]
+        comps = [[self.fq.from_mont(v) for v in limbs_to_ints(np.asarray(c))]
                  for c in coord]
         return list(zip(*comps))
 

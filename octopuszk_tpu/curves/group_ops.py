@@ -31,19 +31,15 @@ from octopuszk_tpu.utils.bigint import int_to_limbs
 import numpy as np
 
 
-def _mul_by_9(spec, x):
-    """9*x by addition chain (cheaper than a full Montgomery multiply)."""
-    x2 = fp.add(spec, x, x)
-    x4 = fp.add(spec, x2, x2)
-    x8 = fp.add(spec, x4, x4)
-    return fp.add(spec, x8, x)
+def make_fp_ops(spec: FieldSpec, b3: int = 9,
+                group_name: str = "G1") -> types.SimpleNamespace:
+    """Coordinate-field adapter for a base prime field (G1).
 
-
-def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
-    """Coordinate-field adapter for a base prime field (G1, b = 3)."""
+    ``b3`` = 3 * coefficientB (BN254a b=3 -> 9; BN254b b=13 -> 39),
+    multiplied in by addition chain — cheaper than a Montgomery multiply."""
     return types.SimpleNamespace(
         spec=spec,
-        group_name="G1",
+        group_name=group_name,
         add=lambda a, b: fp.add(spec, a, b),
         sub=lambda a, b: fp.sub(spec, a, b),
         mul=lambda a, b: fp.mont_mul(spec, a, b),
@@ -51,7 +47,7 @@ def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
         neg=lambda a: fp.neg(spec, a),
         dbl=lambda a: fp.add(spec, a, a),
         inv=lambda a: fp.inv(spec, a),
-        mul_b3=lambda a: _mul_by_9(spec, a),    # b3 = 3b = 9
+        mul_b3=lambda a: fp.mul_small(spec, a, b3),
         binv=lambda a: fp.batch_inv_rows(spec, a),
         is_zero=fp.is_zero,
         eq=fp.eq,
@@ -61,36 +57,42 @@ def make_fp_ops(spec: FieldSpec) -> types.SimpleNamespace:
     )
 
 
-def _g2_b3_limbs(spec):
-    """b3 for the D-twist y^2 = x^3 + 3/(9+u): 9/(9+u) as Fp2 limbs."""
-    b2 = host_tower.fp2_mul((3, 0), host_tower.fp2_inv(host_tower.XI))
-    b3 = host_tower.fp2_scalar(b2, 3)
+def _g2_b3_limbs(spec, b3):
+    """b3 = 3 * (b / twist) as Montgomery Fp2 limb constants."""
     return (np.asarray(int_to_limbs(spec.to_mont(b3[0]), NUM_LIMBS)),
             np.asarray(int_to_limbs(spec.to_mont(b3[1]), NUM_LIMBS)))
 
 
-def make_fp2_ops(spec: FieldSpec) -> types.SimpleNamespace:
-    """Coordinate-field adapter for Fp2 (G2, b = 3/(9+u))."""
-    b3c0, b3c1 = _g2_b3_limbs(spec)
+def make_fp2_ops(spec: FieldSpec, nr: int = -1, b3=None,
+                 group_name: str = "G2") -> types.SimpleNamespace:
+    """Coordinate-field adapter for Fp2 (G2 of a BN curve).
+
+    ``nr``: the Fp2 non-residue (u^2 = nr; BN254a -1, BN254b -5).
+    ``b3``: 3 * twistCoefficientB as an (c0, c1) int pair; defaults to the
+    BN254a value 9/(9+u)."""
+    if b3 is None:
+        b2 = host_tower.fp2_mul((3, 0), host_tower.fp2_inv(host_tower.XI))
+        b3 = host_tower.fp2_scalar(b2, 3)
+    b3c0, b3c1 = _g2_b3_limbs(spec, b3)
 
     def mul_b3(a):
         # build constants at full rank (1-D limb vectors trip Mosaic)
         tail = a[0].shape[1:]
         cc = (fp.constant(b3c0, tail), fp.constant(b3c1, tail))
-        return fp2.mul(spec, a, cc)
+        return fp2.mul(spec, a, cc, nr)
 
     return types.SimpleNamespace(
         spec=spec,
-        group_name="G2",
+        group_name=group_name,
         add=lambda a, b: fp2.add(spec, a, b),
         sub=lambda a, b: fp2.sub(spec, a, b),
-        mul=lambda a, b: fp2.mul(spec, a, b),
-        sqr=lambda a: fp2.sqr(spec, a),
+        mul=lambda a, b: fp2.mul(spec, a, b, nr),
+        sqr=lambda a: fp2.sqr(spec, a, nr),
         neg=lambda a: fp2.neg(spec, a),
         dbl=lambda a: fp2.double(spec, a),
-        inv=lambda a: fp2.inv(spec, a),
+        inv=lambda a: fp2.inv(spec, a, nr),
         mul_b3=mul_b3,
-        binv=lambda a: fp2.batch_inv_rows(spec, a),
+        binv=lambda a: fp2.batch_inv_rows(spec, a, nr=nr),
         is_zero=fp2.is_zero,
         eq=fp2.eq,
         select=fp2.select,
@@ -163,10 +165,58 @@ def _same_batch(p, q):
     return a.shape == b.shape
 
 
+def _broadcast_points(p, q):
+    """Broadcast every coord leaf of two points to a common batch shape."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves((p, q))
+    shape = jnp.broadcast_shapes(*[a.shape for a in leaves])
+    bc = lambda a: jnp.broadcast_to(a, shape)
+    return (jax.tree_util.tree_map(bc, p), jax.tree_util.tree_map(bc, q))
+
+
+def _mul_many(ops, pairs):
+    """[a*b for a, b in pairs] via ONE batched ops.mul.
+
+    The independent multiplies of a complete-add formula are concatenated
+    along the batch (last) axis so they compile to a single rolled CIOS
+    while-loop instead of k separate ones — XLA compile time for the
+    formula drops ~6x (the dominant cost of the CPU multi-chip gate) and
+    the wider batch amortizes loop overhead on TPU.  All operands must
+    share one shape (callers broadcast first).
+    """
+    import jax
+
+    k = len(pairs)
+    if k == 1:
+        return [ops.mul(*pairs[0])]
+    lhs = [a for a, _ in pairs]
+    rhs = [b for _, b in pairs]
+    scalar = jax.tree_util.tree_leaves(lhs[0])[0].ndim == 1  # [L]: no batch
+    if scalar:
+        expand = lambda x: jax.tree_util.tree_map(lambda a: a[..., None], x)
+        lhs = [expand(x) for x in lhs]
+        rhs = [expand(x) for x in rhs]
+    n = jax.tree_util.tree_leaves(lhs[0])[0].shape[-1]
+    cat = lambda *xs: jnp.concatenate(xs, axis=-1)
+    prod = ops.mul(jax.tree_util.tree_map(cat, *lhs),
+                   jax.tree_util.tree_map(cat, *rhs))
+    outs = []
+    for i in range(k):
+        o = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(
+                a, i * n, (i + 1) * n, axis=a.ndim - 1), prod)
+        if scalar:
+            o = jax.tree_util.tree_map(lambda a: a[..., 0], o)
+        outs.append(o)
+    return outs
+
+
 def _pallas_eligible(ops, p):
     """Use the fused Pallas kernel? (TPU backend, flat [L, n] batch, not
-    already tracing inside a kernel.)"""
-    if fp.UNROLL:
+    already tracing inside a kernel; only the BN254a groups have compiled
+    kernels — other curve families take the XLA formula path.)"""
+    if fp.UNROLL or ops.group_name not in ("G1", "G2"):
         return False
     c = p[0]
     while isinstance(c, tuple):
@@ -182,26 +232,26 @@ def add(ops, p, q):
     if _pallas_eligible(ops, p) and _same_batch(p, q):
         from octopuszk_tpu.ops import pallas_ops
         return pallas_ops.add_points(ops.group_name, p, q)
+    p, q = _broadcast_points(p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    t0 = ops.mul(X1, X2)
-    t1 = ops.mul(Y1, Y2)
-    t2 = ops.mul(Z1, Z2)
-    t3 = ops.mul(ops.add(X1, Y1), ops.add(X2, Y2))
+    t0, t1, t2, t3, t4, t5 = _mul_many(ops, [
+        (X1, X2), (Y1, Y2), (Z1, Z2),
+        (ops.add(X1, Y1), ops.add(X2, Y2)),
+        (ops.add(Y1, Z1), ops.add(Y2, Z2)),
+        (ops.add(X1, Z1), ops.add(X2, Z2))])
     t3 = ops.sub(t3, ops.add(t0, t1))                 # X1Y2 + X2Y1
-    t4 = ops.mul(ops.add(Y1, Z1), ops.add(Y2, Z2))
     t4 = ops.sub(t4, ops.add(t1, t2))                 # Y1Z2 + Y2Z1
-    t5 = ops.mul(ops.add(X1, Z1), ops.add(X2, Z2))
     t5 = ops.sub(t5, ops.add(t0, t2))                 # X1Z2 + X2Z1
     three_t0 = ops.add(ops.dbl(t0), t0)
     b3t2 = ops.mul_b3(t2)
     z3 = ops.add(t1, b3t2)
     t1 = ops.sub(t1, b3t2)
     y3 = ops.mul_b3(t5)
-    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t4, y3))
-    Y3 = ops.add(ops.mul(y3, three_t0), ops.mul(t1, z3))
-    Z3 = ops.add(ops.mul(z3, t4), ops.mul(three_t0, t3))
-    return (X3, Y3, Z3)
+    ma, mb, mc, md, me, mf = _mul_many(ops, [
+        (t3, t1), (t4, y3), (y3, three_t0), (t1, z3),
+        (z3, t4), (three_t0, t3)])
+    return (ops.sub(ma, mb), ops.add(mc, md), ops.add(me, mf))
 
 
 def double(ops, p):
@@ -210,18 +260,15 @@ def double(ops, p):
         from octopuszk_tpu.ops import pallas_ops
         return pallas_ops.double_points(ops.group_name, p)
     X, Y, Z = p
-    t0 = ops.sqr(Y)
+    t0, t1, tzz, txy = _mul_many(ops, [(Y, Y), (Y, Z), (Z, Z), (X, Y)])
     z3 = ops.dbl(ops.dbl(ops.dbl(t0)))                # 8Y^2
-    t1 = ops.mul(Y, Z)
-    t2 = ops.mul_b3(ops.sqr(Z))
-    X3 = ops.mul(t2, z3)
-    Y3 = ops.add(t0, t2)
-    Z3 = ops.mul(t1, z3)
+    t2 = ops.mul_b3(tzz)
+    y3a = ops.add(t0, t2)
     t2_3 = ops.add(ops.dbl(t2), t2)
     t0 = ops.sub(t0, t2_3)
-    Y3 = ops.add(X3, ops.mul(t0, Y3))
-    X3 = ops.dbl(ops.mul(t0, ops.mul(X, Y)))
-    return (X3, Y3, Z3)
+    X3, Z3, yb, xc = _mul_many(ops, [
+        (t2, z3), (t1, z3), (t0, y3a), (t0, txy)])
+    return (ops.dbl(xc), ops.add(X3, yb), Z3)
 
 
 def mixed_add(ops, p, q_affine, q_inf_mask=None):
@@ -229,23 +276,24 @@ def mixed_add(ops, p, q_affine, q_inf_mask=None):
 
     ``q_inf_mask`` marks batch slots where Q is the identity.
     """
-    X1, Y1, Z1 = p
-    X2, Y2 = q_affine
-    t0 = ops.mul(X1, X2)
-    t1 = ops.mul(Y1, Y2)
-    t3 = ops.mul(ops.add(X2, Y2), ops.add(X1, Y1))
+    (X1, Y1), (X2, Y2) = _broadcast_points(p[:2], q_affine)
+    Z1, _ = _broadcast_points(p[2], X2)
+    t0, t1, t3, t4m, t5m = _mul_many(ops, [
+        (X1, X2), (Y1, Y2),
+        (ops.add(X2, Y2), ops.add(X1, Y1)),
+        (X2, Z1), (Y2, Z1)])
     t3 = ops.sub(t3, ops.add(t0, t1))                 # X1Y2 + X2Y1
-    t4 = ops.add(ops.mul(X2, Z1), X1)                 # X1 + X2Z1
-    t5 = ops.add(ops.mul(Y2, Z1), Y1)                 # Y1 + Y2Z1
+    t4 = ops.add(t4m, X1)                             # X1 + X2Z1
+    t5 = ops.add(t5m, Y1)                             # Y1 + Y2Z1
     three_t0 = ops.add(ops.dbl(t0), t0)
     b3z1 = ops.mul_b3(Z1)
     z3 = ops.add(t1, b3z1)
     t1 = ops.sub(t1, b3z1)
     y3 = ops.mul_b3(t4)
-    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t5, y3))
-    Y3 = ops.add(ops.mul(y3, three_t0), ops.mul(t1, z3))
-    Z3 = ops.add(ops.mul(z3, t5), ops.mul(three_t0, t3))
-    out = (X3, Y3, Z3)
+    ma, mb, mc, md, me, mf = _mul_many(ops, [
+        (t3, t1), (t5, y3), (y3, three_t0), (t1, z3),
+        (z3, t5), (three_t0, t3)])
+    out = (ops.sub(ma, mb), ops.add(mc, md), ops.add(me, mf))
     if q_inf_mask is not None:
         out = select_point(ops, q_inf_mask, p, out)
     return out

@@ -86,8 +86,8 @@ def _pt_neg(ops: _Ops, p):
     return (p[0], ops.neg(p[1]))
 
 
-def _pt_mul(ops: _Ops, p, k: int):
-    k %= FR.p
+def _pt_mul(ops: _Ops, p, k: int, order: int | None = None):
+    k %= order if order is not None else FR.p
     acc = None
     add_p = p
     while k:

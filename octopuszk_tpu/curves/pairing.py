@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from octopuszk_tpu.fields.spec import FQ, FR
 from octopuszk_tpu.fields import host_tower as tw
+from octopuszk_tpu.fields.tower import HostTower
 
 P = FQ.p
 R_ORDER = FR.p
@@ -32,6 +33,10 @@ assert ATE_LOOP_COUNT == 29793968203157093288
 
 _FINAL_EXP = (P ** 12 - 1) // R_ORDER
 _HARD_EXP = (P ** 4 - P ** 2 + 1) // R_ORDER
+
+# Frobenius tables + hard-part multi-exponentiation (fields/tower.py) —
+# the module-level fp2/fp6/fp12 functions above stay for the rest
+_TW = HostTower(P, -1, tw.XI)
 
 
 def _lift_g2(q):
@@ -47,10 +52,10 @@ def _lift_g1(p):
 
 
 def _frob12(pt, times: int = 1):
-    """Apply the p-power Frobenius to an E(Fp12) point `times` times."""
+    """Apply the p-power Frobenius to an E(Fp12) point `times` times
+    (coefficient tables — six Fp2 multiplies per coordinate, not a pow)."""
     x, y = pt
-    e = pow(P, times)
-    return (tw.fp12_pow(x, e), tw.fp12_pow(y, e))
+    return (_TW.frobenius(x, times), _TW.frobenius(y, times))
 
 
 def _line_and_add(r, q, p12):
@@ -116,12 +121,16 @@ def miller_loop(p, q):
 
 
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part by conj/inv, hard part as plain pow."""
+    """f^((p^12-1)/r): conj/inv easy part, then the hard part as a 4-way
+    Shamir multi-exponentiation over Frobenius powers (tower.py
+    final_exp_hard) — ~8x fewer Fp12 ops than the plain ~3000-bit pow
+    (role of BNPairing.finalExponentiationFirstChunk/LastChunk,
+    BNPairing.java:153-235, without its hand-derived chain)."""
     # easy: f^(p^6 - 1) then ^(p^2 + 1)
     f = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
-    f = tw.fp12_mul(tw.fp12_pow(f, P * P), f)
+    f = tw.fp12_mul(_TW.frobenius(f, 2), f)
     # hard: ^((p^4 - p^2 + 1)/r)
-    return tw.fp12_pow(f, _HARD_EXP)
+    return _TW.final_exp_hard(f, R_ORDER)
 
 
 def reduced_pairing(p, q):

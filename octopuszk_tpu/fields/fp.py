@@ -204,6 +204,24 @@ def double(spec: FieldSpec, a):
     return add(spec, a, a)
 
 
+def mul_small(spec: FieldSpec, a, k: int):
+    """k * a for a small host-known integer k (|k| <= ~64) by a
+    double-and-add chain — cheaper than a full Montgomery multiply."""
+    if k == 0:
+        return jnp.zeros_like(a)
+    neg_k = k < 0
+    k = abs(k)
+    acc = None
+    run = a
+    while k:
+        if k & 1:
+            acc = run if acc is None else add(spec, acc, run)
+        k >>= 1
+        if k:
+            run = add(spec, run, run)
+    return neg(spec, acc) if neg_k else acc
+
+
 # ---------------------------------------------------------------------------
 # Montgomery multiplication (CIOS, rolled over rounds)
 # ---------------------------------------------------------------------------

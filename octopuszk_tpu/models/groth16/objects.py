@@ -14,19 +14,27 @@ from typing import Any
 
 @dataclasses.dataclass
 class ProvingKey:
-    """Reference: ProvingKey.java.  Queries are device point batches."""
+    """Reference: ProvingKey.java.
+
+    Serial CRS (models/groth16/setup.py): every query is a PACKED-ROW
+    affine tensor ``uint32[n/ppr, 128]`` (ops/msm.py pack_affine_rows) —
+    the at-rest layout the large-MSM path gathers from, packed once at
+    setup and reused across proofs.  Distributed CRS
+    (parallel/dgroth16.py): queries are batch-sharded Jacobian point
+    batches.  ``packed`` says which."""
 
     alpha_g1: Any            # host affine G1
     beta_g1: Any
     beta_g2: Any             # host affine G2
     delta_g1: Any
     delta_g2: Any
-    delta_abc_g1: Any        # device G1 batch [num_variables - num_inputs]
-    query_a: Any             # device G1 batch [num_variables]
-    query_b_g1: Any          # device G1 batch [num_variables]
-    query_b_g2: Any          # device G2 batch [num_variables]
-    query_h: Any             # device G1 batch [degree + 1]
+    delta_abc_g1: Any        # query over aux variables (scalars z[ni:])
+    query_a: Any             # query over all variables
+    query_b_g1: Any          # query over all variables (G1 copy)
+    query_b_g2: Any          # query over all variables (G2)
+    query_h: Any             # query over H coefficients [degree + 1]
     r1cs: Any
+    packed: bool = False
 
 
 @dataclasses.dataclass

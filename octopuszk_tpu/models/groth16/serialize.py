@@ -84,12 +84,18 @@ def _host_from_json(x):
 def save_crs(path: str, crs: CRS) -> None:
     pk, vk = crs.proving_key, crs.verification_key
     arrays = {}
-    meta = {"host": {}}
-    _point_batch_to_np(pk.delta_abc_g1, "delta_abc", arrays)
-    _point_batch_to_np(pk.query_a, "query_a", arrays)
-    _point_batch_to_np(pk.query_b_g1, "query_b_g1", arrays)
-    _point_batch_to_np(pk.query_b_g2, "query_b_g2", arrays)
-    _point_batch_to_np(pk.query_h, "query_h", arrays)
+    meta = {"host": {}, "packed": bool(pk.packed)}
+    if pk.packed:
+        # packed-row affine queries: one u32[n/ppr, 128] tensor each
+        for name in ("delta_abc_g1", "query_a", "query_b_g1",
+                     "query_b_g2", "query_h"):
+            arrays[name] = np.asarray(getattr(pk, name))
+    else:
+        _point_batch_to_np(pk.delta_abc_g1, "delta_abc", arrays)
+        _point_batch_to_np(pk.query_a, "query_a", arrays)
+        _point_batch_to_np(pk.query_b_g1, "query_b_g1", arrays)
+        _point_batch_to_np(pk.query_b_g2, "query_b_g2", arrays)
+        _point_batch_to_np(pk.query_h, "query_h", arrays)
     r = pk.r1cs
     _matrix_to_np(r.a, "ra", arrays, meta)
     _matrix_to_np(r.b, "rb", arrays, meta)
@@ -122,15 +128,22 @@ def load_crs(path: str) -> CRS:
         b=_matrix_from_np(d, "rb", meta),
         c=_matrix_from_np(d, "rc", meta),
         **meta["r1cs"])
+    packed = bool(meta.get("packed", False))
+    if packed:
+        queries = {name: jnp.asarray(d[name])
+                   for name in ("delta_abc_g1", "query_a", "query_b_g1",
+                                "query_b_g2", "query_h")}
+    else:
+        queries = {
+            "delta_abc_g1": _point_batch_from_np(d, "delta_abc", 1),
+            "query_a": _point_batch_from_np(d, "query_a", 1),
+            "query_b_g1": _point_batch_from_np(d, "query_b_g1", 1),
+            "query_b_g2": _point_batch_from_np(d, "query_b_g2", 2),
+            "query_h": _point_batch_from_np(d, "query_h", 1)}
     pk = ProvingKey(
         alpha_g1=h["alpha_g1"], beta_g1=h["beta_g1"], beta_g2=h["beta_g2"],
         delta_g1=h["delta_g1"], delta_g2=h["delta_g2"],
-        delta_abc_g1=_point_batch_from_np(d, "delta_abc", 1),
-        query_a=_point_batch_from_np(d, "query_a", 1),
-        query_b_g1=_point_batch_from_np(d, "query_b_g1", 1),
-        query_b_g2=_point_batch_from_np(d, "query_b_g2", 2),
-        query_h=_point_batch_from_np(d, "query_h", 1),
-        r1cs=r1cs)
+        r1cs=r1cs, packed=packed, **queries)
     vk = VerificationKey(
         alpha_beta_gt=h["alpha_beta_gt"], gamma_g2=h["gamma_g2"],
         delta_g2=h["vk_delta_g2"],

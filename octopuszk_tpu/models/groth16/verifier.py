@@ -3,21 +3,27 @@
 Reference parity: zk_proof_systems/zkSNARK/Verifier.verify
 (Verifier.java:25-58): check e(A, B) == e(alpha, beta) * e(evalABC, gamma)
 * e(C, delta) with evalABC = sum primary_i * gammaABC_i.
+
+Generic over the curve bundle (curves/family.py); defaults to BN254a —
+the reference dispatches BN254a vs BN254b the same way
+(Profiler.java:34,67).
 """
 
 from __future__ import annotations
 
-from octopuszk_tpu.curves import host_curve, pairing
-from octopuszk_tpu.fields import host_tower as tw
 from octopuszk_tpu.models.groth16.objects import Proof, VerificationKey
 
 
-def verify(vk: VerificationKey, primary, proof: Proof) -> bool:
+def verify(vk: VerificationKey, primary, proof: Proof, curve=None) -> bool:
+    if curve is None:
+        from octopuszk_tpu.curves.family import bn254a
+        curve = bn254a()
     assert primary[0] == 1, "primary input must start with the constant one"
+    pairing = curve.pairing
     ab = pairing.reduced_pairing(proof.a, proof.b)
-    eval_abc = host_curve.naive_msm_g1(primary, vk.gamma_abc_g1)
-    rhs = tw.fp12_mul(
+    eval_abc = curve.g1.host.naive_msm(primary, vk.gamma_abc_g1)
+    rhs = pairing.gt_mul(
         vk.alpha_beta_gt,
-        tw.fp12_mul(pairing.reduced_pairing(eval_abc, vk.gamma_g2),
-                    pairing.reduced_pairing(proof.c, vk.delta_g2)))
+        pairing.gt_mul(pairing.reduced_pairing(eval_abc, vk.gamma_g2),
+                       pairing.reduced_pairing(proof.c, vk.delta_g2)))
     return ab == rhs

@@ -149,14 +149,32 @@ def _concat_points(p, q):
         for cp, cq in zip(p, q))
 
 
+def _choose_w(n: int) -> int:
+    """Fixed-base window width from the batch size.
+
+    Cost model (in batched-lane point adds): table build is
+    outerc*w*2^w (w bit-steps per window, each a 2^w-wide add) and
+    evaluation is outerc*n, with outerc = ceil(254/w) — minimize
+    (254/w)*(n + w*2^w) over w.  Replaces the reference's empirical
+    per-curve threshold table (FixedBaseMSM.getWindowSize,
+    FixedBaseMSM.java:49-66; BN254aG1Parameters.java:25-50); capped at 14
+    so the table stays <100 MB at any batch size.
+    """
+    def cost(w):
+        return (-(-SCALAR_BITS // w)) * (n + w * (1 << w))
+
+    return min(range(4, 15), key=cost)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def fixed_base_msm(group, base_point, scalars_raw, w: int = 8):
+def fixed_base_msm(group, base_point, scalars_raw, w: int | None = None):
     """[s_i] G for one base G and a batch of scalars: uint32[L, n] -> batch.
 
     Reference parity: FixedBaseMSM.batchMSM (FixedBaseMSM.java:185-315) +
     the device kernel fixedbase_MSM_unit_processing_G1 (…cu:750-791).
     """
-    assert LIMB_BITS % w == 0 or w % LIMB_BITS == 0
+    if w is None:
+        w = _choose_w(scalars_raw.shape[1])
     outerc = (SCALAR_BITS + w - 1) // w
     table = _window_table(group, base_point, w, outerc)
     digits = _digits(scalars_raw, w, outerc)          # [outerc, n]
@@ -260,7 +278,8 @@ def _window_msm(group, points, d, c: int, lanes: int, rows: int):
 
     from octopuszk_tpu.fields.spec import NUM_LIMBS
     from octopuszk_tpu.ops import pallas_ops
-    if pallas_ops.enabled() and lanes >= 256:
+    if (pallas_ops.enabled() and lanes >= 256
+            and group.ops.group_name in ("G1", "G2")):
         # fused one-launch Pallas scan (carry in VMEM scratch)
         flat, rebuild = pallas_ops._flatten_coords(pts_rows)
         flat2d = tuple(a.reshape(rows * NUM_LIMBS, lanes) for a in flat)
@@ -524,7 +543,8 @@ def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
     def to_rows(a):  # [L, m] -> [rows, L, lanes]
         return jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, rows)), -1, 0)
 
-    if pallas_ops.enabled() and lanes >= 128:
+    if (pallas_ops.enabled() and lanes >= 128
+            and group.ops.group_name in ("G1", "G2")):
         aff_flat = [to_rows(a).reshape(rows * NUM_LIMBS, lanes)
                     for a in coords]
         pref_flat = pallas_ops.scan_accumulate_mixed(
@@ -642,6 +662,18 @@ def _msm_large_packed(group, packed, scalars_raw, num_win: int, c: int,
     return jax.lax.fori_loop(0, num_win, combine, accf)
 
 
+def _plan_packed(n: int, lanes: int | None, chunk_log: int):
+    """Chunk plan shared by packing and execution: (num_chunks, lanes,
+    chunk_m, m_total).  lanes >= 4 keeps chunk_m divisible by every
+    group's points-per-row."""
+    num_chunks = max(1, -(-n // (1 << chunk_log)))
+    if lanes is None:
+        lanes = min(1 << max(0, (n // num_chunks).bit_length() - 1), 4096)
+    lanes = max(lanes, 4)
+    chunk_m = lanes * (-(-n // (num_chunks * lanes)))
+    return num_chunks, lanes, chunk_m, num_chunks * chunk_m
+
+
 def pippenger_msm_large(group, points, scalars_raw, c: int | None = None,
                         lanes: int | None = None, chunk_log: int = 21):
     """Large variable-base MSM: signed digits + packed-row shuffles +
@@ -654,11 +686,7 @@ def pippenger_msm_large(group, points, scalars_raw, c: int | None = None,
 
 
 def _msm_pad_to(group, n, lanes, chunk_log):
-    num_chunks = max(1, -(-n // (1 << chunk_log)))
-    if lanes is None:
-        lanes = min(1 << max(0, (n // num_chunks).bit_length() - 1), 4096)
-    chunk_m = lanes * (-(-n // (num_chunks * lanes)))
-    return num_chunks * chunk_m
+    return _plan_packed(n, lanes, chunk_log)[3]
 
 
 def pippenger_msm_packed(group, packed, scalars_raw,
@@ -672,12 +700,8 @@ def pippenger_msm_packed(group, packed, scalars_raw,
     """
     ppr = _points_per_row(group)
     n = packed.shape[0] * ppr
-    num_chunks = max(1, -(-n // (1 << chunk_log)))
-    if lanes is None:
-        lanes = min(1 << max(0, (n // num_chunks).bit_length() - 1), 4096)
-    chunk_m = lanes * (-(-n // (num_chunks * lanes)))
+    num_chunks, lanes, chunk_m, m_total = _plan_packed(n, lanes, chunk_log)
     rows = chunk_m // lanes
-    m_total = num_chunks * chunk_m
     assert m_total == n, (m_total, n)   # packed bases are pre-padded
     if scalars_raw.shape[1] != m_total:
         scalars_raw = jnp.pad(
@@ -687,6 +711,114 @@ def pippenger_msm_packed(group, packed, scalars_raw,
     num_win = -(-255 // c)
     return _msm_large_packed(group, packed, scalars_raw, num_win, c,
                              lanes, rows)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _sorted_digits(scalars_chunk, num_win: int, c: int):
+    """Signed digits + ONE batched per-window sort for a chunk: returns
+    (d_sorted, idx2s) with idx2s = (source index << 1) | negbit."""
+    chunk_m = scalars_chunk.shape[1]
+    mag_c, neg_c = _signed_digits(scalars_chunk, c, num_win)
+    iota2 = (jax.lax.broadcasted_iota(U32, (num_win, chunk_m), 1)
+             << 1) | neg_c
+    return jax.lax.sort((mag_c, iota2), dimension=1, num_keys=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _windows_from_sorted(group, packed_chunk, d_sorted, idx2s, c: int,
+                         lanes: int, rows: int):
+    """All windows of one chunk from pre-sorted digits -> [.., num_win]
+    point batch."""
+    def win_body(_, wxs):
+        ds_w, ix_w = wxs
+        return 0, _window_msm_mixed(group, packed_chunk, ds_w, ix_w, c,
+                                    lanes, rows)
+
+    _, wpts = jax.lax.scan(win_body, 0, (d_sorted, idx2s))
+    return _map_coords(wpts, lambda a: jnp.moveaxis(a, 0, -1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _combine_windows(group, window_results, c: int):
+    """MSB-first window combination: acc = [2^c] acc + W_j."""
+    num_win = None
+    for leaf in jax.tree_util.tree_leaves(window_results):
+        num_win = leaf.shape[-1]
+        break
+
+    def step(j, acc):
+        idx = num_win - 1 - j
+        wj = _map_coords(window_results, lambda a: a[..., idx])
+
+        def dbl(_, p):
+            return group.double(p)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return group.add(acc, wj)
+
+    accf = jac.taint_point(group.infinity(()), window_results)
+    return jax.lax.fori_loop(0, num_win, step, accf)
+
+
+def _msm_large_packed_double(g1, g2, packed1, packed2, scalars_raw,
+                             num_win: int, c: int, lanes: int, rows: int):
+    """Fused G1+G2 double MSM over packed bases with SHARED scalars:
+    signed-digit extraction and the batched per-window sort are computed
+    once per chunk and drive both groups' bucket pipelines.
+
+    Reference parity: VariableBaseMSM.doubleMSM / the fused
+    variableBaseDoubleMSMNativeHelper (VariableBaseMSM.java:489-771,
+    algebra_msm_VariableBaseMSM.cu:1712-1806) — the reference fuses the
+    two MSMs into one JNI/GPU launch for the prover's queryB; here the
+    shared work (digits, signs, sort) is hoisted instead, which is the
+    part a TPU actually re-pays (the EC adds themselves can't be shared).
+    The chunk loop runs at the python level and the two groups compile as
+    SEPARATE modules: one fused module crashes XLA:CPU (a recursive pass
+    overflows its stack on the doubled graph) and fusing across the two
+    independent dataflows buys nothing.
+    """
+    ppr1, ppr2 = _points_per_row(g1), _points_per_row(g2)
+    m_total = packed1.shape[0] * ppr1
+    chunk_m = lanes * rows
+    num_chunks = m_total // chunk_m
+    p1_chunks = packed1.reshape(num_chunks, chunk_m // ppr1, 128)
+    p2_chunks = packed2.reshape(num_chunks, chunk_m // ppr2, 128)
+
+    wr1 = wr2 = None
+    for k in range(num_chunks):
+        sc_c = jax.lax.slice_in_dim(scalars_raw, k * chunk_m,
+                                    (k + 1) * chunk_m, axis=1)
+        d_sorted, idx2s = _sorted_digits(sc_c, num_win, c)
+        w1 = _windows_from_sorted(g1, p1_chunks[k], d_sorted, idx2s, c,
+                                  lanes, rows)
+        w2 = _windows_from_sorted(g2, p2_chunks[k], d_sorted, idx2s, c,
+                                  lanes, rows)
+        wr1 = w1 if wr1 is None else g1.add(wr1, w1)
+        wr2 = w2 if wr2 is None else g2.add(wr2, w2)
+    return (_combine_windows(g1, wr1, c), _combine_windows(g2, wr2, c))
+
+
+def pippenger_double_msm_packed(g1, g2, packed1, packed2, scalars_raw,
+                                c: int | None = None,
+                                lanes: int | None = None,
+                                chunk_log: int = 21):
+    """Fused variable-base double MSM (same scalars, G1 and G2 bases).
+
+    Both packed bases must cover the same (padded) point count."""
+    ppr1, ppr2 = _points_per_row(g1), _points_per_row(g2)
+    n = packed1.shape[0] * ppr1
+    assert packed2.shape[0] * ppr2 == n, (packed1.shape, packed2.shape)
+    num_chunks, lanes, chunk_m, m_total = _plan_packed(n, lanes, chunk_log)
+    rows = chunk_m // lanes
+    assert m_total == n, (m_total, n)
+    if scalars_raw.shape[1] != m_total:
+        scalars_raw = jnp.pad(
+            scalars_raw, ((0, 0), (0, m_total - scalars_raw.shape[1])))
+    if c is None:
+        c = _choose_c_large(chunk_m)
+    num_win = -(-255 // c)
+    return _msm_large_packed_double(g1, g2, packed1, packed2, scalars_raw,
+                                    num_win, c, lanes, rows)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -109,17 +109,16 @@ def _local_matvec(spec, sm: ShardedMatrix, z_full):
     return fp.reduce_sum_mont(spec, out)
 
 
-def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):
-    """QAP witness map with z batch-sharded; returns h sharded [L, n].
-
-    (h's extra top zero coefficient of the serial path is appended by the
-    caller on host if needed; degree <= n-2 so h[n-1] == 0 anyway.)
-    """
+@functools.lru_cache(maxsize=None)
+def _witness_evals_fn(mesh, spec: FieldSpec, n: int, nc: int, ni: int,
+                      meta: tuple):
+    """Memoized jitted A/B/C-evaluation shard_map.  ``meta`` is a tuple of
+    (num_rows, num_chunks) per matrix (static shape data — the arrays
+    themselves are passed as arguments so the executable is reused across
+    proofs and tests)."""
     d = mesh.devices.size
-    nc, ni = sr.num_constraints, sr.num_inputs
-    mats = (sr.a, sr.b, sr.c)
     flat_specs = tuple(
-        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in mats)
+        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in meta)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -128,11 +127,12 @@ def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):
     def _evals(mats_flat, z_loc):
         z_full = jax.lax.all_gather(z_loc, AXIS, axis=1, tiled=True)
         outs = []
-        for (row, col, val, chunk, chunk_seg), src in zip(mats_flat, mats):
+        for (row, col, val, chunk, chunk_seg), (nrows, nchunks) in zip(
+                mats_flat, meta):
             sm = ShardedMatrix(row=row, col=col, val=val, row_chunk=chunk,
                                row_chunk_seg=chunk_seg,
-                               num_rows=src.num_rows,
-                               num_chunks=src.num_chunks)
+                               num_rows=nrows,
+                               num_chunks=nchunks)
             outs.append(_local_matvec(spec, sm, z_full))
         az, bz, cz = outs
         # pad to domain, add input-consistency rows for A
@@ -146,17 +146,11 @@ def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):
         pick = lambda x: jax.lax.dynamic_slice_in_dim(x, dev * sl, sl, axis=1)
         return pick(a_ev), pick(b_ev), pick(c_ev)
 
-    flats = tuple((m.row, m.col, m.val, m.row_chunk, m.row_chunk_seg)
-                  for m in mats)
-    a_ev, b_ev, c_ev = _evals(flats, z)
+    return jax.jit(_evals)
 
-    def to_coset(x):
-        return dntt.distributed_ntt(
-            mesh, spec, dntt.distributed_ntt(mesh, spec, x, inverse=True),
-            coset=True)
 
-    a_c, b_c, c_c = to_coset(a_ev), to_coset(b_ev), to_coset(c_ev)
-
+@functools.lru_cache(maxsize=None)
+def _h_coset_fn(mesh, spec: FieldSpec, n: int):
     from octopuszk_tpu.ops import ntt as sntt
     zinv = pow(sntt.compute_z_at(spec, n, spec.generator), -1, spec.p)
 
@@ -168,7 +162,30 @@ def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):
             np.asarray(_mont_limbs(spec, zinv)), ())
         return fp.mont_mul(spec, h, zc[:, None])
 
-    h_coset = _h_coset(a_c, b_c, c_c)
+    return jax.jit(_h_coset)
+
+
+def distributed_witness(mesh, spec: FieldSpec, sr: ShardedR1CS, n: int, z):
+    """QAP witness map with z batch-sharded; returns h sharded [L, n].
+
+    (h's extra top zero coefficient of the serial path is appended by the
+    caller on host if needed; degree <= n-2 so h[n-1] == 0 anyway.)
+    """
+    nc, ni = sr.num_constraints, sr.num_inputs
+    mats = (sr.a, sr.b, sr.c)
+    meta = tuple((m.num_rows, m.num_chunks) for m in mats)
+    flats = tuple((m.row, m.col, m.val, m.row_chunk, m.row_chunk_seg)
+                  for m in mats)
+    a_ev, b_ev, c_ev = _witness_evals_fn(mesh, spec, n, nc, ni, meta)(
+        flats, z)
+
+    def to_coset(x):
+        return dntt.distributed_ntt(
+            mesh, spec, dntt.distributed_ntt(mesh, spec, x, inverse=True),
+            coset=True)
+
+    a_c, b_c, c_c = to_coset(a_ev), to_coset(b_ev), to_coset(c_ev)
+    h_coset = _h_coset_fn(mesh, spec, n)(a_c, b_c, c_c)
     return dntt.distributed_ntt(mesh, spec, h_coset, inverse=True, coset=True)
 
 
@@ -199,6 +216,11 @@ def distributed_lagrange(mesh, spec: FieldSpec, n: int, t: int):
     random-secret case; checked on host).
     """
     assert pow(t, n, spec.p) != 1, "t in evaluation domain"
+    return _lagrange_fn(mesh, spec, n, t)()
+
+
+@functools.lru_cache(maxsize=None)
+def _lagrange_fn(mesh, spec: FieldSpec, n: int, t: int):
     d = mesh.devices.size
     dmax = 1 << max(0, (d - 1).bit_length())
     omega = spec.rou_of_order(n)
@@ -215,7 +237,7 @@ def distributed_lagrange(mesh, spec: FieldSpec, n: int, t: int):
         return fp.mont_mul(spec, fp.mont_mul(spec, w, inv_diff),
                            zc[:, None])
 
-    return _body()
+    return jax.jit(_body)
 
 
 def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
@@ -229,8 +251,25 @@ def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
     m_pad = m + (-m) % d
     lag = distributed_lagrange(mesh, spec, n, t)
     mats = (sr.a, sr.b, sr.c)
+    meta = tuple((mm.num_rows, mm.num_cols, mm.num_col_chunks)
+                 for mm in mats)
+    flats = tuple((mm.row, mm.col, mm.val, mm.col_chunk, mm.col_chunk_seg)
+                  for mm in mats)
+    at, bt, ct = _instance_fn(mesh, spec, nc, ni, m_pad, meta)(flats, lag)
+
+    # Ht = powers of t, padded to a multiple of d past n+1
+    h_pad = (n + 1) + (-(n + 1)) % d
+    from octopuszk_tpu.ops import ntt as sntt
+    zt = sntt.compute_z_at(spec, n, t)
+    return at, bt, ct, _ht_fn(mesh, spec, t, h_pad)(), zt
+
+
+@functools.lru_cache(maxsize=None)
+def _instance_fn(mesh, spec: FieldSpec, nc: int, ni: int, m_pad: int,
+                 meta: tuple):
+    d = mesh.devices.size
     mat_specs = tuple(
-        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in mats)
+        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in meta)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -240,12 +279,13 @@ def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
         lag_full = jax.lax.all_gather(lag_loc, AXIS, axis=1, tiled=True)
         w = lag_full[:, :nc]
         outs = []
-        for (row, col, val, cchunk, cseg), src in zip(mats_flat, mats):
+        for (row, col, val, cchunk, cseg), (nrows, ncols, ncchunks) in zip(
+                mats_flat, meta):
             sm = ShardedMatrix(
                 row=row, col=col, val=val, row_chunk=None,
-                row_chunk_seg=None, num_rows=src.num_rows,
+                row_chunk_seg=None, num_rows=nrows,
                 num_chunks=0, col_chunk=cchunk, col_chunk_seg=cseg,
-                num_cols=src.num_cols, num_col_chunks=src.num_col_chunks)
+                num_cols=ncols, num_col_chunks=ncchunks)
             outs.append(_local_rmatvec(spec, sm, w))
         at, bt, ct = outs
         # input consistency: At_i += L_{nc+i}(t), i < ni
@@ -259,12 +299,12 @@ def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
             return jax.lax.dynamic_slice_in_dim(x, dev * sl, sl, axis=1)
         return pick(at), pick(bt), pick(ct)
 
-    flats = tuple((mm.row, mm.col, mm.val, mm.col_chunk, mm.col_chunk_seg)
-                  for mm in mats)
-    at, bt, ct = _instance(flats, lag)
+    return jax.jit(_instance)
 
-    # Ht = powers of t, padded to a multiple of d past n+1
-    h_pad = (n + 1) + (-(n + 1)) % d
+
+@functools.lru_cache(maxsize=None)
+def _ht_fn(mesh, spec: FieldSpec, t: int, h_pad: int):
+    d = mesh.devices.size
     dmax = 1 << max(0, (d - 1).bit_length())
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(),
@@ -272,9 +312,7 @@ def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
     def _ht():
         return dntt._dev_scaled_powers(spec, t, h_pad // d, dmax)
 
-    from octopuszk_tpu.ops import ntt as sntt
-    zt = sntt.compute_z_at(spec, n, t)
-    return at, bt, ct, _ht(), zt
+    return jax.jit(_ht)
 
 
 def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1):

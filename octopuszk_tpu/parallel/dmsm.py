@@ -7,6 +7,10 @@ base + mapPartitionsToPair.  TPU-native: shard_map over a 1-D mesh —
 per-chip Pippenger, then an all_gather of the (tiny) per-chip partial
 points and a local tree reduction; fixed-base is embarrassingly parallel
 with the window table replicated (XLA broadcasts it once over ICI).
+
+All entry points are memoized ``jax.jit(shard_map(...))`` executables —
+eager shard_map dispatch compiles each body primitive separately
+(measured ~25x slower) and fresh closures defeat the jit cache.
 """
 
 from __future__ import annotations
@@ -22,6 +26,33 @@ from octopuszk_tpu.ops import msm
 from octopuszk_tpu.parallel.mesh import AXIS
 
 
+def _point_specs(group, spec):
+    """Full per-coord spec pytree for a point batch of this group."""
+    template = group.infinity((1,))
+    return jax.tree_util.tree_map(lambda _: spec, template)
+
+
+@functools.lru_cache(maxsize=None)
+def _pippenger_fn(mesh, group, c: int, lanes: int):
+    d = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(_point_specs(group, P(None, AXIS)), P(None, AXIS)),
+        out_specs=_point_specs(group, P()),
+        check_vma=False)  # result is replicated by the all_gather+reduce
+    def _local(pts, scal):
+        part = msm.pippenger_msm(group, pts, scal, c, lanes)
+        # [D] partial points on every chip, then local log-tree reduce
+        gathered = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, AXIS, axis=x.ndim), part)
+        m = 1 << max(0, (d - 1).bit_length())
+        gathered, _ = msm._pad_pow2_to(group, gathered, m)
+        return jac.tree_reduce(group.ops, gathered, m)
+
+    return jax.jit(_local)
+
+
 def distributed_pippenger(mesh, group, points, scalars_raw,
                           c: int | None = None, lanes: int | None = None):
     """Sum_i [s_i] P_i with (points, scalars) sharded on the batch axis.
@@ -35,35 +66,67 @@ def distributed_pippenger(mesh, group, points, scalars_raw,
         c = msm._choose_c(max(2, local_n))
     if lanes is None:
         lanes = msm._choose_lanes(local_n)
+    return _pippenger_fn(mesh, group, c, lanes)(points, scalars_raw)
 
-    point_spec = jax.tree_util.tree_map(lambda _: P(None, AXIS), points)
+
+@functools.lru_cache(maxsize=None)
+def _packed_pippenger_fn(mesh, group, c: int, lanes: int, chunk_log: int):
+    d = mesh.devices.size
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(point_spec, P(None, AXIS)),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), points),
-        check_vma=False)  # result is replicated by the all_gather+reduce
-    def _local(pts, scal):
-        part = msm.pippenger_msm(group, pts, scal, c, lanes)
-        # [D] partial points on every chip, then local log-tree reduce
+        in_specs=(P(AXIS, None), P(None, AXIS)),
+        out_specs=_point_specs(group, P()),
+        check_vma=False)
+    def _local(packed, scal):
+        part = msm.pippenger_msm_packed(group, packed, scal, c, lanes,
+                                        chunk_log)
         gathered = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, AXIS, axis=x.ndim), part)
         m = 1 << max(0, (d - 1).bit_length())
         gathered, _ = msm._pad_pow2_to(group, gathered, m)
         return jac.tree_reduce(group.ops, gathered, m)
 
-    return _local(points, scalars_raw)
+    return jax.jit(_local)
 
 
-def distributed_fixed_base_msm(mesh, group, base_point, scalars_raw,
-                               w: int = 8):
-    """[s_i] G for sharded scalars; output point batch stays sharded."""
+def distributed_pippenger_packed(mesh, group, packed, scalars_raw,
+                                 c: int | None = None,
+                                 lanes: int | None = None,
+                                 chunk_log: int = 21):
+    """Large-path distributed MSM: the base is a packed-row tensor
+    (ops/msm.py pack_affine_rows) sharded on its row axis; scalars are
+    co-sharded on the batch axis.  Per-chip signed-digit Pippenger with
+    fused mixed-add scans, then the same all_gather point reduction.
+    """
+    d = mesh.devices.size
+    ppr = msm._points_per_row(group)
+    local_n = packed.shape[0] * ppr // d
+    if c is None:
+        c = msm._choose_c_large(min(local_n, 1 << chunk_log))
+    if lanes is None:
+        num_chunks = max(1, -(-local_n // (1 << chunk_log)))
+        lanes = min(1 << max(
+            0, (local_n // num_chunks).bit_length() - 1), 4096)
+    return _packed_pippenger_fn(mesh, group, c, lanes, chunk_log)(
+        packed, scalars_raw)
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_fn(mesh, group, w: int):
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: P(), base_point),
-                  P(None, AXIS)),
-        out_specs=jax.tree_util.tree_map(lambda _: P(None, AXIS), base_point))
+        in_specs=(_point_specs(group, P()), P(None, AXIS)),
+        out_specs=_point_specs(group, P(None, AXIS)))
     def _local(base, scal):
         return msm.fixed_base_msm(group, base, scal, w)
 
-    return _local(base_point, scalars_raw)
+    return jax.jit(_local)
+
+
+def distributed_fixed_base_msm(mesh, group, base_point, scalars_raw,
+                               w: int | None = None):
+    """[s_i] G for sharded scalars; output point batch stays sharded."""
+    if w is None:
+        w = msm._choose_w(scalars_raw.shape[-1] // mesh.devices.size)
+    return _fixed_base_fn(mesh, group, w)(base_point, scalars_raw)

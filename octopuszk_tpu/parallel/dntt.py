@@ -66,8 +66,22 @@ def distributed_ntt(mesh, spec: FieldSpec, x, inverse: bool = False,
         if coset:
             return (ntt.coset_intt if inverse else ntt.coset_ntt)(spec, x)
         return (ntt.intt if inverse else ntt.ntt)(spec, x)
+    return _ntt_fn(mesh, spec, x.shape[0], n, inverse, coset)(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_fn(mesh, spec: FieldSpec, L: int, n: int, inverse: bool,
+            coset: bool):
+    """Memoized jitted distributed-NTT executable.
+
+    Eagerly-invoked shard_map closures would re-trace AND re-compile on
+    every call (and eager shard_map dispatch compiles each body primitive
+    separately — measured ~25x slower than one jitted module); caching the
+    ``jax.jit(shard_map(...))`` per (mesh, spec, shape, direction) makes
+    repeated NTTs hit the in-process executable cache.
+    """
+    d = mesh.devices.size
     R, C = _split_rc(n, d)
-    L = x.shape[0]
     dmax = 1 << max(0, (d - 1).bit_length())
     omega = spec.rou_of_order(n)
     if inverse:
@@ -104,4 +118,4 @@ def distributed_ntt(mesh, spec: FieldSpec, x, inverse: bool = False,
                              _dev_scaled_powers(spec, g_inv, n // d, dmax))
         return xl
 
-    return _body(x)
+    return jax.jit(_body)

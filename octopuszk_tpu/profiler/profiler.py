@@ -75,8 +75,12 @@ def profile_vmsm(config, n, which):
     grp = bn254.G1 if which == "g1" else bn254.G2
     pts = _rand_points(grp, n)
     s = _rand_scalars(n, seed=2)
+    # the product path: packed-row base (the CRS at-rest layout) driving
+    # the signed-digit large Pippenger with fused mixed-add scans
+    packed = msm.points_to_packed(
+        grp, pts, pad_to=msm._msm_pad_to(grp, n, None, 21))
     dt = _timed(config, f"var-msm-{which}",
-                lambda: msm.pippenger_msm(grp, pts, s), n)
+                lambda: msm.pippenger_msm_packed(grp, packed, s), n)
     print(f"throughput: {n / dt:.0f} points/s", flush=True)
 
 
@@ -115,6 +119,26 @@ def profile_zksnark(config, n):
     config.begin_runtime("verify")
     ok = verifier.verify(crs.verification_key, primary, proof)
     print(f"verify: {config.end_runtime('verify'):.3f}s ok={ok}", flush=True)
+    assert ok
+
+
+def profile_zksnark_large(config, n):
+    """End-to-end Groth16 on the SECOND curve family, BN254b — the
+    reference's `zksnark-large` app (Profiler.java:34,67,248 dispatches
+    the same pipeline over the bn254b/ package)."""
+    from octopuszk_tpu.curves.family import bn254b
+    from octopuszk_tpu.models.groth16 import prover, setup, verifier
+    from octopuszk_tpu.relations import construct
+    curve = bn254b()
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3, spec=curve.fr)
+    config.begin_runtime("setup-bn254b")
+    crs = setup.setup(r1cs, seed=config.seed, curve=curve)
+    print(f"setup: {config.end_runtime('setup-bn254b'):.3f}s", flush=True)
+    config.begin_runtime("prove-bn254b")
+    proof = prover.prove(crs.proving_key, primary, aux, curve=curve)
+    print(f"prove: {config.end_runtime('prove-bn254b'):.3f}s", flush=True)
+    ok = verifier.verify(crs.verification_key, primary, proof, curve=curve)
+    print(f"verify ok={ok}", flush=True)
     assert ok
 
 
@@ -172,6 +196,116 @@ def profile_gaussian(config, n):
     assert verifier.verify(crs.verification_key, primary, proof)
 
 
+# ---------------------------------------------------------------------------
+# distributed drivers (reference: profiler/profiling/*Profiling.java
+# distributed variants, dispatched by Profiler.java:210-242)
+# ---------------------------------------------------------------------------
+
+
+def _get_mesh(ndev: int):
+    """ndev-device mesh: real chips if available, else a virtual CPU mesh
+    (the reference's local[\\*] Spark master analogue)."""
+    if len(jax.devices()) < ndev:
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+        jax.config.update("jax_num_cpu_devices", ndev)
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_compilation_cache_dir", None)
+    from octopuszk_tpu.parallel import mesh as pmesh
+    devices = jax.devices()[:ndev]
+    assert len(devices) == ndev, (len(devices), ndev)
+    return pmesh.make_mesh(devices)
+
+
+def dprofile_fft(config, mesh, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.parallel import dntt, mesh as pmesh
+    x = pmesh.shard_vector(mesh, _rand_scalars(n))
+    _timed(config, "dist-fft",
+           lambda: dntt.distributed_ntt(mesh, FR, x), n)
+    _timed(config, "dist-ifft",
+           lambda: dntt.distributed_ntt(mesh, FR, x, inverse=True), n)
+
+
+def dprofile_lagrange(config, mesh, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.parallel import dgroth16
+    _timed(config, "dist-lagrange",
+           lambda: dgroth16.distributed_lagrange(mesh, FR, n, 12345678), n)
+
+
+def dprofile_fmsm(config, mesh, n, which):
+    from octopuszk_tpu.curves import bn254
+    from octopuszk_tpu.parallel import dmsm, mesh as pmesh
+    grp = bn254.G1 if which == "g1" else bn254.G2
+    base = pmesh.replicate_point(
+        mesh, grp.point_to_device(grp.generator_affine))
+    s = pmesh.shard_vector(mesh, _rand_scalars(n))
+    _timed(config, f"dist-fixed-msm-{which}",
+           lambda: dmsm.distributed_fixed_base_msm(mesh, grp, base, s), n)
+
+
+def dprofile_vmsm(config, mesh, n, which):
+    from octopuszk_tpu.curves import bn254
+    from octopuszk_tpu.parallel import dmsm, mesh as pmesh
+    grp = bn254.G1 if which == "g1" else bn254.G2
+    pts = pmesh.shard_point_batch(mesh, _rand_points(grp, n))
+    s = pmesh.shard_vector(mesh, _rand_scalars(n, seed=2))
+    dt = _timed(config, f"dist-var-msm-{which}",
+                lambda: dmsm.distributed_pippenger(mesh, grp, pts, s), n)
+    print(f"throughput: {n / dt:.0f} points/s", flush=True)
+
+
+def dprofile_witness(config, mesh, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.parallel import dgroth16, mesh as pmesh
+    from octopuszk_tpu.reductions.r1cs_to_qap import domain_size
+    from octopuszk_tpu.relations import construct
+    from octopuszk_tpu.relations.r1cs import assignment_to_device
+    d = mesh.devices.size
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    dom = domain_size(r1cs)
+    full = primary + aux
+    m_pad = len(full) + (-len(full)) % d
+    z = pmesh.shard_vector(mesh, assignment_to_device(
+        FR, full + [0] * (m_pad - len(full))))
+    _timed(config, "dist-qap-witness",
+           lambda: dgroth16.distributed_witness(mesh, FR, sr, dom, z), n)
+
+
+def dprofile_zksnark(config, mesh, n):
+    from octopuszk_tpu.models.groth16 import verifier
+    from octopuszk_tpu.parallel import dgroth16
+    from octopuszk_tpu.relations import construct
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    config.begin_runtime("dist-setup")
+    crs = dgroth16.distributed_setup(mesh, sr, seed=config.seed)
+    print(f"setup: {config.end_runtime('dist-setup'):.3f}s", flush=True)
+    dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux)  # warm
+    config.begin_runtime("dist-prove")
+    proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux)
+    print(f"prove: {config.end_runtime('dist-prove'):.3f}s", flush=True)
+    ok = verifier.verify(crs.verification_key, primary, proof)
+    print(f"verify ok={ok}", flush=True)
+    assert ok
+
+
+def dprofile_bace(config, mesh, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.models.bace.circuit import (
+        Circuit, InputGate, ProductGate, SumGate)
+    from octopuszk_tpu.parallel import dbace
+    c = Circuit(2, ProductGate(SumGate(InputGate(0), InputGate(1)),
+                               InputGate(0)))
+    inputs = _rand_scalars(2 * n)
+    _timed(config, "dist-bace-prove",
+           lambda: dbace.distributed_compute_proof(mesh, FR, c, inputs, n),
+           n)
+
+
 APPS = {
     "fft": profile_fft,
     "lagrange": profile_lagrange,
@@ -182,10 +316,23 @@ APPS = {
     "relation": profile_relation,
     "witness": profile_witness,
     "zksnark": profile_zksnark,
+    "zksnark-large": profile_zksnark_large,
     "bace": profile_bace,
     "matmul": profile_matmul,
     "regression": profile_lr,
     "gaussian": profile_gaussian,
+}
+
+DIST_APPS = {
+    "fft": dprofile_fft,
+    "lagrange": dprofile_lagrange,
+    "fmsm-g1": lambda c, m, n: dprofile_fmsm(c, m, n, "g1"),
+    "fmsm-g2": lambda c, m, n: dprofile_fmsm(c, m, n, "g2"),
+    "vmsm-g1": lambda c, m, n: dprofile_vmsm(c, m, n, "g1"),
+    "vmsm-g2": lambda c, m, n: dprofile_vmsm(c, m, n, "g2"),
+    "witness": dprofile_witness,
+    "zksnark": dprofile_zksnark,
+    "bace": dprofile_bace,
 }
 
 
@@ -193,19 +340,27 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) == 2:
         app, log2 = argv[0].lower(), int(argv[1])
+        if app not in APPS:
+            print(f"unknown app {app}; apps: {', '.join(APPS)}")
+            return 1
         config = Config()
+        n = 1 << log2
+        APPS[app](config, n)
     elif len(argv) == 3:
         ndev, app, log2 = int(argv[0]), argv[1].lower(), int(argv[2])
+        if app not in DIST_APPS:
+            print(f"unknown distributed app {app}; "
+                  f"apps: {', '.join(DIST_APPS)}")
+            return 1
         config = Config(num_devices=ndev, num_partitions=ndev)
+        mesh = _get_mesh(ndev)
+        n = 1 << log2
+        DIST_APPS[app](config, mesh, n)
     else:
         print("Args: [numDevices] {app} {size (log2)}  "
-              f"apps: {', '.join(APPS)}")
+              f"serial apps: {', '.join(APPS)}  "
+              f"distributed apps: {', '.join(DIST_APPS)}")
         return 1
-    if app not in APPS:
-        print(f"unknown app {app}; apps: {', '.join(APPS)}")
-        return 1
-    n = 1 << log2
-    APPS[app](config, n)
     config.write_runtime_log(app, n)
     return 0
 

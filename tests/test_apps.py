@@ -10,6 +10,8 @@ from octopuszk_tpu.fields.spec import FR
 from octopuszk_tpu.relations import apps
 from octopuszk_tpu.relations.r1cs import assignment_to_device, is_satisfied
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("dims", [(2, 3, 2), (1, 1, 1), (3, 2, 4)])
 def test_matmul_satisfied(dims):

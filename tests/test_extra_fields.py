@@ -16,6 +16,8 @@ from octopuszk_tpu.fields.spec import FR, LARGE, NUM_LIMBS, SMALL
 from octopuszk_tpu.ops import msm, ntt
 from octopuszk_tpu.utils.bigint import ints_to_limbs, limbs_to_ints
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("spec", [SMALL, LARGE], ids=lambda s: s.name)
 def test_generic_field_kernels(rng, spec):

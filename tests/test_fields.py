@@ -13,6 +13,8 @@ from octopuszk_tpu.fields import fp
 from octopuszk_tpu.fields.spec import FR, FQ, NUM_LIMBS
 from octopuszk_tpu.utils.bigint import ints_to_limbs, limbs_to_ints
 
+pytestmark = pytest.mark.quick
+
 SPECS = [FR, FQ]
 N = 64
 

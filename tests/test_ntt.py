@@ -13,6 +13,8 @@ from octopuszk_tpu.fields.spec import FR, NUM_LIMBS
 from octopuszk_tpu.ops import ntt
 from octopuszk_tpu.utils.bigint import ints_to_limbs, limbs_to_ints, int_to_limbs
 
+pytestmark = pytest.mark.quick
+
 P = FR.p
 
 

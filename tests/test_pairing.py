@@ -3,9 +3,12 @@
 Reference test parity: BilinearityTest.java:70-…, BNFinalExponentiationTest.
 """
 
+import pytest
 from octopuszk_tpu.curves import host_curve as hc, pairing
 from octopuszk_tpu.fields import host_tower as tw
 from octopuszk_tpu.fields.spec import FR
+
+pytestmark = pytest.mark.quick
 
 
 def test_bilinearity(rng):
@@ -50,3 +53,23 @@ def test_generators_on_curve():
     # subgroup check for G2 generator: r*Q == identity
     assert hc.g2_mul(hc.G2_GEN, FR.p) is None
     assert hc.g1_mul(hc.G1_GEN, FR.p) is None
+
+
+def test_frobenius_tables_and_fast_final_exp():
+    """Frobenius coefficient tables == plain pow(p^k); multi-exp hard part
+    == plain pow of (p^4-p^2+1)/r (role of BNPairing.java:153-235)."""
+    import random
+
+    from octopuszk_tpu.fields import host_tower as tw
+    from octopuszk_tpu.fields.spec import FQ, FR
+    from octopuszk_tpu.fields.tower import HostTower
+
+    P = FQ.p
+    T = HostTower(P, -1, tw.XI)
+    r = random.Random(9)
+    a = (tuple((r.randrange(P), r.randrange(P)) for _ in range(3)),
+         tuple((r.randrange(P), r.randrange(P)) for _ in range(3)))
+    for k in (1, 2, 3):
+        assert T.frobenius(a, k) == tw.fp12_pow(a, P ** k)
+    hard = (P ** 4 - P ** 2 + 1) // FR.p
+    assert T.final_exp_hard(a, FR.p) == tw.fp12_pow(a, hard)

@@ -87,3 +87,22 @@ def test_distributed_fixed_base(rng, mesh):
         mesh, grp, pmesh.replicate_point(mesh, grp.point_to_device(base)),
         sdev)
     assert grp.points_to_host(got) == [grp.host.mul(base, k) for k in ks]
+
+
+def test_distributed_bace_matches_serial(rng, mesh):
+    """Distributed BACE proof == serial proof (bace/Prover.java:40-93
+    Spark pipeline vs parallel/dbace.py)."""
+    from octopuszk_tpu.models.bace import prover as sprover
+    from octopuszk_tpu.models.bace.circuit import (
+        Circuit, ConstantGate, InputGate, ProductGate, SumGate)
+    from octopuszk_tpu.parallel import dbace
+
+    x0, x1, x2 = InputGate(0), InputGate(1), InputGate(2)
+    c = Circuit(3, ProductGate(SumGate(ProductGate(x0, x1), x2),
+                               SumGate(x0, ConstantGate(7))))
+    K = 64  # >= d^2 so stage 1 takes the distributed NTT path
+    flat = [rng.randrange(P) for _ in range(3 * K)]
+    dev = _dev(flat)
+    want = _host(sprover.compute_proof(FR, c, dev, K))
+    got = _host(dbace.distributed_compute_proof(mesh, FR, c, dev, K))
+    assert got == want

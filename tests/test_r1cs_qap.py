@@ -15,6 +15,8 @@ from octopuszk_tpu.relations.r1cs import (
     assignment_to_device, is_satisfied, make_sparse, matvec, rmatvec)
 from octopuszk_tpu.utils.bigint import limbs_to_ints
 
+pytestmark = pytest.mark.quick
+
 P = FR.p
 
 

@@ -14,12 +14,13 @@ def test_crs_roundtrip(tmp_path):
     path = str(tmp_path / "crs.npz")
     serialize.save_crs(path, crs)
     crs2 = serialize.load_crs(path)
-    # device arrays equal
-    for name in ("query_a", "query_b_g1", "query_h"):
+    # device arrays equal (packed-row query tensors)
+    assert crs2.proving_key.packed == crs.proving_key.packed
+    for name in ("query_a", "query_b_g1", "query_b_g2", "query_h",
+                 "delta_abc_g1"):
         a = getattr(crs.proving_key, name)
         b = getattr(crs2.proving_key, name)
-        for ca, cb in zip(a, b):
-            assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        assert np.array_equal(np.asarray(a), np.asarray(b))
     # host values equal
     assert crs2.proving_key.alpha_g1 == crs.proving_key.alpha_g1
     assert crs2.verification_key.alpha_beta_gt == \
