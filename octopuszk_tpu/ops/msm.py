@@ -713,7 +713,7 @@ def pippenger_msm_packed(group, packed, scalars_raw,
                              lanes, rows)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _sorted_digits(scalars_chunk, num_win: int, c: int):
     """Signed digits + ONE batched per-window sort for a chunk: returns
     (d_sorted, idx2s) with idx2s = (source index << 1) | negbit."""
