@@ -51,6 +51,11 @@ def prove(pk: ProvingKey, primary, auxiliary, seed: int = 2,
         # (SerialProver.java:32-55 role, gated on config.debugFlag)
         assert bool(is_satisfied(fr, r1cs, z)), "R1CS not satisfied"
     h = qap_witness(fr, r1cs, n, z)
+    if config is not None and config.debug:
+        # QAP degree check (SerialProver.java:49-53: qapWitness degree
+        # bounds): deg H <= n - 2, so the top coefficient must be zero
+        import numpy as np
+        assert not np.asarray(h[:, n - 1:]).any(), "QAP H degree too high"
 
     z_raw = fp.from_mont(fr, z)
     h_raw = fp.from_mont(fr, h)

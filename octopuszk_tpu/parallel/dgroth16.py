@@ -110,6 +110,45 @@ def _local_matvec(spec, sm: ShardedMatrix, z_full):
 
 
 @functools.lru_cache(maxsize=None)
+def _satisfied_fn(mesh, spec: FieldSpec, meta: tuple):
+    flat_specs = tuple(
+        (P(AXIS), P(AXIS), P(None, AXIS), P(AXIS), P()) for _ in meta)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(flat_specs, P(None, AXIS)), out_specs=P())
+    def _check(mats_flat, z_loc):
+        z_full = jax.lax.all_gather(z_loc, AXIS, axis=1, tiled=True)
+        outs = []
+        for (row, col, val, chunk, chunk_seg), (nrows, nchunks) in zip(
+                mats_flat, meta):
+            sm = ShardedMatrix(row=row, col=col, val=val, row_chunk=chunk,
+                               row_chunk_seg=chunk_seg, num_rows=nrows,
+                               num_chunks=nchunks)
+            outs.append(_local_matvec(spec, sm, z_full))
+        az, bz, cz = outs
+        return jnp.all(fp.eq(fp.mont_mul(spec, az, bz), cz))
+
+    return jax.jit(_check)
+
+
+def distributed_is_satisfied(mesh, spec: FieldSpec, sr: ShardedR1CS,
+                             z) -> bool:
+    """Sharded satisfiability check: A z * B z == C z elementwise, with z
+    batch-sharded [L, m_pad] (zero-padded past num_variables).
+
+    Reference: R1CSRelationRDD.isSatisfied (R1CSRelationRDD.java:179) —
+    the join+reduceByKey becomes all_gather(z) + local gather + the
+    hierarchical exact segment sum with a psum across shards.
+    """
+    mats = (sr.a, sr.b, sr.c)
+    meta = tuple((m.num_rows, m.num_chunks) for m in mats)
+    flats = tuple((m.row, m.col, m.val, m.row_chunk, m.row_chunk_seg)
+                  for m in mats)
+    return bool(_satisfied_fn(mesh, spec, meta)(flats, z))
+
+
+@functools.lru_cache(maxsize=None)
 def _witness_evals_fn(mesh, spec: FieldSpec, n: int, nc: int, ni: int,
                       meta: tuple):
     """Memoized jitted A/B/C-evaluation shard_map.  ``meta`` is a tuple of
@@ -240,15 +279,25 @@ def _lagrange_fn(mesh, spec: FieldSpec, n: int, t: int):
     return jax.jit(_body)
 
 
+def sharded_pad(x: int, d: int, min_local: int = 4) -> int:
+    """Pad a batch length so the per-shard slice is a power of two >= 4:
+    every group's points-per-row divides it and the packed-MSM lane plan
+    (ops/msm.py _plan_packed) always tiles it exactly."""
+    local = max(min_local, -(-x // d))
+    return d * (1 << (local - 1).bit_length())
+
+
 def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
-                             t: int, n: int):
+                             t: int, n: int, m_pad: int | None = None,
+                             h_pad: int | None = None):
     """Sharded At/Bt/Ct [L, m_pad] + Ht [L, h_pad]; zt host.
 
     Reference: R1CStoQAPRDD.R1CStoQAPRelation (R1CStoQAPRDD.java:44-131).
     """
     d = mesh.devices.size
     nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
-    m_pad = m + (-m) % d
+    if m_pad is None:
+        m_pad = sharded_pad(m, d)
     lag = distributed_lagrange(mesh, spec, n, t)
     mats = (sr.a, sr.b, sr.c)
     meta = tuple((mm.num_rows, mm.num_cols, mm.num_col_chunks)
@@ -257,8 +306,10 @@ def distributed_qap_instance(mesh, spec: FieldSpec, sr: ShardedR1CS,
                   for mm in mats)
     at, bt, ct = _instance_fn(mesh, spec, nc, ni, m_pad, meta)(flats, lag)
 
-    # Ht = powers of t, padded to a multiple of d past n+1
-    h_pad = (n + 1) + (-(n + 1)) % d
+    # Ht = powers of t, padded past n+1 (extra powers are harmless: their
+    # H-coefficient scalars are zero)
+    if h_pad is None:
+        h_pad = sharded_pad(n + 1, d)
     from octopuszk_tpu.ops import ntt as sntt
     zt = sntt.compute_z_at(spec, n, t)
     return at, bt, ct, _ht_fn(mesh, spec, t, h_pad)(), zt
@@ -315,137 +366,167 @@ def _ht_fn(mesh, spec: FieldSpec, t: int, h_pad: int):
     return jax.jit(_ht)
 
 
-def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1):
+def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1, curve=None):
     """Distributed CRS generation; returns a CRS whose proving-key queries
-    are batch-sharded point arrays (delta_abc_g1 covers ALL m variables —
-    the distributed prover zeroes primary scalars instead of slicing).
+    are row-sharded PACKED affine tensors (dmsm.distributed_pack) driving
+    the prover's large-MSM path.  delta_abc_g1 covers ALL m variables with
+    the primary entries gamma-scaled — the reference's filtered field MSM
+    (FixedBaseMSM.distributedFilterFieldBatchMSM, FixedBaseMSM.java:
+    854-878) computes exactly this split in one pass; the prover zeroes
+    primary scalars so only the delta-scaled tail contributes.
 
+    ``curve``: a curves/family.py bundle; defaults to BN254a.
     Reference: DistributedSetup.generate (DistributedSetup.java:34-227).
     """
     import random as _random
 
-    from octopuszk_tpu.curves import bn254, pairing
-    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.curves import group_ops as jac
     from octopuszk_tpu.models.groth16.objects import (
         CRS, ProvingKey, VerificationKey)
     from octopuszk_tpu.parallel import mesh as pmesh
-    from octopuszk_tpu.utils.bigint import limbs_to_ints
+
+    if curve is None:
+        from octopuszk_tpu.curves.family import bn254a
+        curve = bn254a()
+    fr = curve.fr
+    g1_grp, g2_grp = curve.g1, curve.g2
 
     rng = _random.Random(seed)
-    t, alpha, beta, gamma, delta = (rng.randrange(1, FR.p) for _ in range(5))
-    inv_gamma = pow(gamma, -1, FR.p)
-    inv_delta = pow(delta, -1, FR.p)
+    t, alpha, beta, gamma, delta = (rng.randrange(1, fr.p) for _ in range(5))
+    inv_gamma = pow(gamma, -1, fr.p)
+    inv_delta = pow(delta, -1, fr.p)
     nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
+    d = mesh.devices.size
     n = 1 << (nc + ni - 1).bit_length()
+    # ONE shared pad for variable and H vectors: every query shares the
+    # same fixed-base and packed-MSM executables (compile time is scarce
+    # on the CPU-mesh test path; padded scalars are zero = identity)
+    pad = max(sharded_pad(m, d), sharded_pad(n + 1, d))
 
-    at, bt, ct, ht, zt = distributed_qap_instance(mesh, FR, sr, t, n)
+    at, bt, ct, ht, zt = distributed_qap_instance(
+        mesh, fr, sr, t, n, m_pad=pad, h_pad=pad)
 
     def cmul(x, k: int):
-        kc = jnp.asarray(np.asarray(_mont_limbs(FR, k)))
-        return fp.mont_mul(FR, x, kc[:, None])
+        kc = jnp.asarray(np.asarray(_mont_limbs(fr, k)))
+        return fp.mont_mul(fr, x, kc[:, None])
 
-    abc = fp.add(FR, fp.add(FR, cmul(at, beta), cmul(bt, alpha)), ct)
-    delta_abc = cmul(abc, inv_delta)        # full m_pad (see docstring)
-    ht_scaled = cmul(ht, zt * inv_delta % FR.p)
+    abc = fp.add(fr, fp.add(fr, cmul(at, beta), cmul(bt, alpha)), ct)
+    # filtered split: gamma^-1 on the primary prefix, delta^-1 on the rest
+    idx = jnp.arange(pad, dtype=jnp.int32)
+    filtered_abc = fp.select(idx < ni, cmul(abc, inv_gamma),
+                             cmul(abc, inv_delta))
+    ht_scaled = cmul(ht, zt * inv_delta % fr.p)
 
-    g1_gen = bn254.G1.host.mul(bn254.G1.generator_affine,
-                               rng.randrange(1, FR.p))
-    g2_gen = bn254.G2.host.mul(bn254.G2.generator_affine,
-                               rng.randrange(1, FR.p))
-    g1_dev = pmesh.replicate_point(mesh, bn254.G1.point_to_device(g1_gen))
-    g2_dev = pmesh.replicate_point(mesh, bn254.G2.point_to_device(g2_gen))
+    g1_gen = g1_grp.host.mul(g1_grp.generator_affine, rng.randrange(1, fr.p))
+    g2_gen = g2_grp.host.mul(g2_grp.generator_affine, rng.randrange(1, fr.p))
+    g1_dev = pmesh.replicate_point(mesh, g1_grp.point_to_device(g1_gen))
+    g2_dev = pmesh.replicate_point(mesh, g2_grp.point_to_device(g2_gen))
 
     def raw(x):
-        return fp.from_mont(FR, x)
+        return fp.from_mont(fr, x)
 
-    query_a = dmsm.distributed_fixed_base_msm(mesh, bn254.G1, g1_dev, raw(at))
-    query_b_g1 = dmsm.distributed_fixed_base_msm(
-        mesh, bn254.G1, g1_dev, raw(bt))
-    query_b_g2 = dmsm.distributed_fixed_base_msm(
-        mesh, bn254.G2, g2_dev, raw(bt))
-    delta_abc_g1 = dmsm.distributed_fixed_base_msm(
-        mesh, bn254.G1, g1_dev, raw(delta_abc))
-    query_h = dmsm.distributed_fixed_base_msm(
-        mesh, bn254.G1, g1_dev, raw(ht_scaled))
+    def enc_g1(scalars_mont):
+        pts = dmsm.distributed_fixed_base_msm(
+            mesh, g1_grp, g1_dev, raw(scalars_mont))
+        return pts, dmsm.distributed_pack(mesh, g1_grp, pts)
 
-    # gammaABC (ni entries): pull the primary slice to host — O(ni)
-    abc_primary = np.asarray(abc[:, :ni])
-    gamma_abc_scalars = [
-        FR.from_mont(v) * inv_gamma % FR.p
-        for v in limbs_to_ints(abc_primary)]
-    gamma_abc_g1 = [bn254.G1.host.mul(g1_gen, s) for s in gamma_abc_scalars]
+    _, query_a = enc_g1(at)
+    _, query_b_g1 = enc_g1(bt)
+    _, query_h = enc_g1(ht_scaled)
+    filtered_pts, delta_abc_g1 = enc_g1(filtered_abc)
+    query_b_g2 = dmsm.distributed_pack(
+        mesh, g2_grp, dmsm.distributed_fixed_base_msm(
+            mesh, g2_grp, g2_dev, raw(bt)))
+
+    # vk gammaABC = the gamma-scaled primary prefix of the filtered query
+    gamma_abc_g1 = g1_grp.points_to_host(
+        jac._map_coords(filtered_pts, lambda c: c[..., :ni]))
 
     pk = ProvingKey(
-        alpha_g1=bn254.G1.host.mul(g1_gen, alpha),
-        beta_g1=bn254.G1.host.mul(g1_gen, beta),
-        beta_g2=bn254.G2.host.mul(g2_gen, beta),
-        delta_g1=bn254.G1.host.mul(g1_gen, delta),
-        delta_g2=bn254.G2.host.mul(g2_gen, delta),
+        alpha_g1=g1_grp.host.mul(g1_gen, alpha),
+        beta_g1=g1_grp.host.mul(g1_gen, beta),
+        beta_g2=g2_grp.host.mul(g2_gen, beta),
+        delta_g1=g1_grp.host.mul(g1_gen, delta),
+        delta_g2=g2_grp.host.mul(g2_gen, delta),
         delta_abc_g1=delta_abc_g1, query_a=query_a,
         query_b_g1=query_b_g1, query_b_g2=query_b_g2,
-        query_h=query_h, r1cs=sr)
+        query_h=query_h, r1cs=sr, packed=True)
     vk = VerificationKey(
-        alpha_beta_gt=pairing.reduced_pairing(
+        alpha_beta_gt=curve.pairing.reduced_pairing(
             pk.alpha_g1, pk.beta_g2),
-        gamma_g2=bn254.G2.host.mul(g2_gen, gamma),
+        gamma_g2=g2_grp.host.mul(g2_gen, gamma),
         delta_g2=pk.delta_g2,
         gamma_abc_g1=gamma_abc_g1)
     return CRS(proving_key=pk, verification_key=vk)
 
 
-def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2):
+def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2,
+                      curve=None, config=None):
     """Distributed prover over a sharded proving key (distributed_setup).
 
+    ``curve``: a curves/family.py bundle; defaults to BN254a.
     Reference: DistributedProver.prove (DistributedProver.java:28-167).
     """
     import random as _random
 
-    from octopuszk_tpu.curves import bn254, group_ops as jac
-    from octopuszk_tpu.fields.spec import FR
     from octopuszk_tpu.models.groth16.objects import Proof
     from octopuszk_tpu.parallel import mesh as pmesh
     from octopuszk_tpu.relations.r1cs import assignment_to_device
 
+    if curve is None:
+        from octopuszk_tpu.curves.family import bn254a
+        curve = bn254a()
+    fr = curve.fr
+    g1_grp, g2_grp = curve.g1, curve.g2
+
     rng = _random.Random(seed)
-    r = rng.randrange(FR.p)
-    s = rng.randrange(FR.p)
+    r = rng.randrange(fr.p)
+    s = rng.randrange(fr.p)
     sr = pk.r1cs
     d = mesh.devices.size
     nc, ni, m = sr.num_constraints, sr.num_inputs, sr.num_variables
     n = 1 << (nc + ni - 1).bit_length()
-    m_pad = m + (-m) % d
-    h_pad = (n + 1) + (-(n + 1)) % d
+    assert pk.packed, "distributed_prove needs a packed distributed CRS"
+    # the setup packs every query to ONE shared padded length (see
+    # distributed_setup); recover it from the stored queries
+    from octopuszk_tpu.ops import msm
+    pad = pk.query_a.shape[0] * msm._points_per_row(g1_grp)
 
     full = list(primary) + list(auxiliary)
     z = pmesh.shard_vector(
-        mesh, assignment_to_device(FR, full + [0] * (m_pad - m)))
-    h = distributed_witness(mesh, FR, sr, n, z)       # [L, n] sharded
-    h = jnp.pad(h, ((0, 0), (0, h_pad - n)))
+        mesh, assignment_to_device(fr, full + [0] * (pad - m)))
+    if config is not None and config.debug:
+        # debug-mode satisfiability assertion before proving
+        # (DistributedProver.java:38-55 role, gated on config.debugFlag)
+        assert distributed_is_satisfied(mesh, fr, sr, z), \
+            "R1CS not satisfied"
+    h = distributed_witness(mesh, fr, sr, n, z)       # [L, n] sharded
+    h = jnp.pad(h, ((0, 0), (0, pad - n)))
 
-    z_raw = fp.from_mont(FR, z)
-    # zero primary scalars for the deltaABC MSM (full-m query)
-    idx = jnp.arange(m_pad, dtype=jnp.int32)
+    z_raw = fp.from_mont(fr, z)
+    # zero primary scalars for the deltaABC MSM (full-m filtered query)
+    idx = jnp.arange(pad, dtype=jnp.int32)
     z_aux_raw = jnp.where(idx[None, :] < ni, jnp.uint32(0), z_raw)
-    h_raw = fp.from_mont(FR, h)
+    h_raw = fp.from_mont(fr, h)
 
-    def run_msm(grp, pts, scal):
-        part = dmsm.distributed_pippenger(mesh, grp, pts, scal)
+    def run_msm(grp, packed, scal):
+        part = dmsm.distributed_pippenger_packed(mesh, grp, packed, scal)
         return _replicated_point_to_host(grp, part)
 
-    eval_a = run_msm(bn254.G1, pk.query_a, z_raw)
-    eval_b1 = run_msm(bn254.G1, pk.query_b_g1, z_raw)
-    eval_b2 = run_msm(bn254.G2, pk.query_b_g2, z_raw)
-    eval_h = run_msm(bn254.G1, pk.query_h, h_raw)
-    eval_abc = run_msm(bn254.G1, pk.delta_abc_g1, z_aux_raw)
+    eval_a = run_msm(g1_grp, pk.query_a, z_raw)
+    eval_b1 = run_msm(g1_grp, pk.query_b_g1, z_raw)
+    eval_b2 = run_msm(g2_grp, pk.query_b_g2, z_raw)
+    eval_h = run_msm(g1_grp, pk.query_h, h_raw)
+    eval_abc = run_msm(g1_grp, pk.delta_abc_g1, z_aux_raw)
 
-    g1, g2 = bn254.G1.host, bn254.G2.host
+    g1, g2 = g1_grp.host, g2_grp.host
     a_pt = g1.add(g1.add(pk.alpha_g1, eval_a), g1.mul(pk.delta_g1, r))
     b1_pt = g1.add(g1.add(pk.beta_g1, eval_b1), g1.mul(pk.delta_g1, s))
     b2_pt = g2.add(g2.add(pk.beta_g2, eval_b2), g2.mul(pk.delta_g2, s))
     c_pt = g1.add(eval_abc, eval_h)
     c_pt = g1.add(c_pt, g1.mul(a_pt, s))
     c_pt = g1.add(c_pt, g1.mul(b1_pt, r))
-    c_pt = g1.add(c_pt, g1.neg(g1.mul(pk.delta_g1, r * s % FR.p)))
+    c_pt = g1.add(c_pt, g1.neg(g1.mul(pk.delta_g1, r * s % fr.p)))
     return Proof(a=a_pt, b=b2_pt, c=c_pt)
 
 

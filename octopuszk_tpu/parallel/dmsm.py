@@ -113,6 +113,34 @@ def distributed_pippenger_packed(mesh, group, packed, scalars_raw,
 
 
 @functools.lru_cache(maxsize=None)
+def _pack_fn(mesh, group):
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(_point_specs(group, P(None, AXIS)),),
+        out_specs=P(AXIS, None))
+    def _local(pts):
+        return msm.points_to_packed(group, pts)
+
+    return jax.jit(_local)
+
+
+def distributed_pack(mesh, group, points):
+    """Batch-sharded Jacobian points -> row-sharded packed affine rows
+    (u32[n/ppr, 128], ops/msm.py pack_affine_rows layout).  Done once at
+    setup so every proof's MSMs run the large packed path; the affine
+    conversion (batched inverse) is local per shard — no communication.
+    """
+    local_n = _batch_n_tree(points) // mesh.devices.size
+    assert local_n % msm._points_per_row(group) == 0, local_n
+    return _pack_fn(mesh, group)(points)
+
+
+def _batch_n_tree(points):
+    leaf = jax.tree_util.tree_leaves(points)[0]
+    return leaf.shape[-1]
+
+
+@functools.lru_cache(maxsize=None)
 def _fixed_base_fn(mesh, group, w: int):
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -134,6 +134,7 @@ def profile_zksnark_large(config, n):
     config.begin_runtime("setup-bn254b")
     crs = setup.setup(r1cs, seed=config.seed, curve=curve)
     print(f"setup: {config.end_runtime('setup-bn254b'):.3f}s", flush=True)
+    prover.prove(crs.proving_key, primary, aux, curve=curve)  # warmup
     config.begin_runtime("prove-bn254b")
     proof = prover.prove(crs.proving_key, primary, aux, curve=curve)
     print(f"prove: {config.end_runtime('prove-bn254b'):.3f}s", flush=True)
@@ -293,6 +294,85 @@ def dprofile_zksnark(config, mesh, n):
     assert ok
 
 
+def dprofile_relation(config, mesh, n):
+    from octopuszk_tpu.fields.spec import FR
+    from octopuszk_tpu.parallel import dgroth16
+    from octopuszk_tpu.relations import construct
+    r1cs, _, _ = construct.serial_construct(n - 3, 3)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    _timed(config, "dist-qap-relation",
+           lambda: dgroth16.distributed_qap_instance(
+               mesh, FR, sr, 987654321, n), n)
+
+
+def dprofile_zksnark_large(config, mesh, n):
+    """Distributed end-to-end on the SECOND curve family, BN254b
+    (reference: Profiler.java:248 `dzksnark-large` dispatch)."""
+    from octopuszk_tpu.curves.family import bn254b
+    from octopuszk_tpu.models.groth16 import verifier
+    from octopuszk_tpu.parallel import dgroth16
+    from octopuszk_tpu.relations import construct
+    curve = bn254b()
+    r1cs, primary, aux = construct.serial_construct(n - 3, 3, spec=curve.fr)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    config.begin_runtime("dist-setup-bn254b")
+    crs = dgroth16.distributed_setup(mesh, sr, seed=config.seed, curve=curve)
+    print(f"setup: {config.end_runtime('dist-setup-bn254b'):.3f}s",
+          flush=True)
+    config.begin_runtime("dist-prove-bn254b")
+    proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
+                                       curve=curve)
+    print(f"prove: {config.end_runtime('dist-prove-bn254b'):.3f}s",
+          flush=True)
+    ok = verifier.verify(crs.verification_key, primary, proof, curve=curve)
+    print(f"verify ok={ok}", flush=True)
+    assert ok
+
+
+def _dprofile_app_groth16(config, mesh, r1cs, primary, aux, name):
+    """Shared distributed setup+prove+verify driver for app circuits
+    (reference: Profiler.java:210-242 distributed app dispatch)."""
+    from octopuszk_tpu.models.groth16 import verifier
+    from octopuszk_tpu.parallel import dgroth16
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    config.begin_runtime(name)
+    crs = dgroth16.distributed_setup(mesh, sr, seed=config.seed)
+    proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux)
+    ok = verifier.verify(crs.verification_key, primary, proof)
+    dt = config.end_runtime(name)
+    print(f"{name} setup+prove+verify: {dt:.3f}s ok={ok}", flush=True)
+    assert ok
+
+
+def dprofile_matmul(config, mesh, n):
+    import math
+    from octopuszk_tpu.relations import apps
+    dim = max(2, round(math.pow(n / 2, 1 / 3)))
+    r1cs, primary, aux = apps.matmul_construct(dim, dim, dim)
+    print(f"matmul {dim}^3: {r1cs.num_constraints} constraints", flush=True)
+    _dprofile_app_groth16(config, mesh, r1cs, primary, aux, "dist-matmul")
+
+
+def dprofile_lr(config, mesh, n):
+    from octopuszk_tpu.relations import apps
+    d = max(2, n.bit_length() - 1)
+    rows = max(2, n // (d + 2))
+    r1cs, primary, aux = apps.lr_construct(rows, d)
+    print(f"lr {rows}x{d}: {r1cs.num_constraints} constraints", flush=True)
+    _dprofile_app_groth16(config, mesh, r1cs, primary, aux,
+                          "dist-regression")
+
+
+def dprofile_gaussian(config, mesh, n):
+    from octopuszk_tpu.relations import apps
+    d = max(2, n.bit_length() // 2)
+    rows = max(2, n // (d * d))
+    r1cs, primary, aux = apps.gaussian_construct(rows, d)
+    print(f"gaussian {rows}x{d}: {r1cs.num_constraints} constraints",
+          flush=True)
+    _dprofile_app_groth16(config, mesh, r1cs, primary, aux, "dist-gaussian")
+
+
 def dprofile_bace(config, mesh, n):
     from octopuszk_tpu.fields.spec import FR
     from octopuszk_tpu.models.bace.circuit import (
@@ -330,9 +410,14 @@ DIST_APPS = {
     "fmsm-g2": lambda c, m, n: dprofile_fmsm(c, m, n, "g2"),
     "vmsm-g1": lambda c, m, n: dprofile_vmsm(c, m, n, "g1"),
     "vmsm-g2": lambda c, m, n: dprofile_vmsm(c, m, n, "g2"),
+    "relation": dprofile_relation,
     "witness": dprofile_witness,
     "zksnark": dprofile_zksnark,
+    "zksnark-large": dprofile_zksnark_large,
     "bace": dprofile_bace,
+    "matmul": dprofile_matmul,
+    "regression": dprofile_lr,
+    "gaussian": dprofile_gaussian,
 }
 
 

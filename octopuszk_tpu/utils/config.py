@@ -57,6 +57,18 @@ class Config:
         self._records.append({"name": name, "seconds": dt, **meta})
         return dt
 
+    @staticmethod
+    def suggest_partitions(size: int, num_devices: int) -> int:
+        """Per-size partition (chunk) count heuristic.
+
+        Reference parity: SparkUtils.numPartitions (SparkUtils.java:
+        114-116) — `size >= 2^25 ? 8 * executors : executors`.  On a TPU
+        mesh the analogue is how many chunks each chip streams its shard
+        through (ops/msm.py chunk plan): past 2^25 total, 8 chunks per
+        chip bound transient HBM the way extra partitions bounded
+        executor memory."""
+        return 8 * num_devices if size >= (1 << 25) else num_devices
+
     def write_runtime_log(self, app: str, size: Optional[int] = None):
         os.makedirs(self.events_dir, exist_ok=True)
         path = os.path.join(self.events_dir, f"{app}.csv")

@@ -44,9 +44,6 @@ def test_gaussian_satisfied():
     assert bool(is_satisfied(FR, r1cs, z))
 
 
-def test_matmul_groth16_end_to_end():
-    from octopuszk_tpu.models.groth16 import prover, setup, verifier
-    r1cs, primary, aux = apps.matmul_construct(2, 2, 2, seed=44)
-    crs = setup.setup(r1cs, seed=45)
-    proof = prover.prove(crs.proving_key, primary, aux, seed=46)
-    assert verifier.verify(crs.verification_key, primary, proof)
+# (the matmul Groth16 end-to-end lives in test_groth16.py — slow tier;
+# the quick-tier e2e is test_msm_quick.test_groth16_e2e_small, whose
+# shapes share compiled executables with the MSM tests there)

@@ -36,3 +36,39 @@ def test_distributed_reject_wrong_input(proven):
     bad = list(primary)
     bad[1] = (bad[1] + 1) % FR.p
     assert not verifier.verify(crs.verification_key, bad, proof)
+
+
+def test_distributed_is_satisfied():
+    """Sharded satisfiability (R1CSRelationRDD.isSatisfied role): accepts
+    the honest assignment, rejects a corrupted one."""
+    from octopuszk_tpu.relations.r1cs import assignment_to_device
+
+    mesh = pmesh.make_mesh()
+    d = mesh.devices.size
+    r1cs, primary, aux = construct.serial_construct(21, 3, seed=31)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    full = primary + aux
+    m_pad = dgroth16.sharded_pad(len(full), d)
+    z = pmesh.shard_vector(mesh, assignment_to_device(
+        FR, full + [0] * (m_pad - len(full))))
+    assert dgroth16.distributed_is_satisfied(mesh, FR, sr, z)
+    bad = list(full)
+    bad[2] = (bad[2] + 1) % FR.p
+    z_bad = pmesh.shard_vector(mesh, assignment_to_device(
+        FR, bad + [0] * (m_pad - len(bad))))
+    assert not dgroth16.distributed_is_satisfied(mesh, FR, sr, z_bad)
+
+
+def test_distributed_bn254b_end_to_end():
+    """The distributed pipeline is curve-generic: BN254b (the reference's
+    zksnark-large curve) setup -> prove -> verify on the mesh."""
+    from octopuszk_tpu.curves.family import bn254b
+    curve = bn254b()
+    mesh = pmesh.make_mesh()
+    r1cs, primary, aux = construct.serial_construct(
+        61, 3, seed=24, spec=curve.fr)
+    sr = dgroth16.shard_r1cs(mesh, r1cs)
+    crs = dgroth16.distributed_setup(mesh, sr, seed=25, curve=curve)
+    proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
+                                       seed=26, curve=curve)
+    assert verifier.verify(crs.verification_key, primary, proof, curve=curve)

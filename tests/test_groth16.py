@@ -37,3 +37,11 @@ def test_reject_tampered_proof(proven):
     from octopuszk_tpu.models.groth16.objects import Proof
     tampered = Proof(a=hc.g1_add(proof.a, hc.G1_GEN), b=proof.b, c=proof.c)
     assert not verifier.verify(crs.verification_key, primary, tampered)
+
+
+def test_matmul_groth16_end_to_end():
+    from octopuszk_tpu.relations import apps
+    r1cs, primary, aux = apps.matmul_construct(2, 2, 2, seed=44)
+    crs = setup.setup(r1cs, seed=45)
+    proof = prover.prove(crs.proving_key, primary, aux, seed=46)
+    assert verifier.verify(crs.verification_key, primary, proof)

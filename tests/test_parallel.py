@@ -77,6 +77,30 @@ def test_distributed_pippenger(rng, mesh):
     assert single == grp.host.naive_msm(ks, pts)
 
 
+def test_distributed_pippenger_packed(rng, mesh):
+    """Packed-path distributed MSM (row-sharded base) == host oracle ==
+    serial packed result."""
+    from octopuszk_tpu.ops import msm
+    grp = bn254.G1
+    n = 64   # local 8 points = 2 packed rows per shard
+    ks = [rng.randrange(P) for _ in range(n)]
+    ks[0] = 0
+    pts = _rand_points(rng, grp, n)
+    pts[1] = None
+    pdev = pmesh.shard_point_batch(mesh, grp.points_to_device(pts))
+    packed = dmsm.distributed_pack(mesh, grp, pdev)
+    sdev = pmesh.shard_vector(mesh, jnp.asarray(ints_to_limbs(ks, NUM_LIMBS)))
+    got = dmsm.distributed_pippenger_packed(mesh, grp, packed, sdev)
+    single = grp.points_to_host(jac._map_coords(got, lambda c: c[..., None]))[0]
+    want = grp.host.naive_msm(ks, pts)
+    assert single == want
+    serial_packed = msm.points_to_packed(grp, grp.points_to_device(pts))
+    serial = msm.pippenger_msm_packed(grp, serial_packed, jnp.asarray(
+        ints_to_limbs(ks, NUM_LIMBS)))
+    assert grp.points_to_host(
+        jac._map_coords(serial, lambda c: c[..., None]))[0] == want
+
+
 def test_distributed_fixed_base(rng, mesh):
     grp = bn254.G1
     n = 16
