@@ -496,6 +496,38 @@ def points_to_packed(group, points, pad_to: int | None = None):
     return pack_affine_rows(group, x, y)
 
 
+def packed_to_points(group, packed):
+    """Packed affine rows u32[n/ppr, 128] -> projective point batch [n].
+
+    Inverse of ``points_to_packed``; (0, 0)-encoded identities map to the
+    projective identity (0, 1, 0)."""
+    from octopuszk_tpu.fields import fp
+
+    ppr = _points_per_row(group)
+    cd = group.coord_dim
+    C = 128 // ppr
+    n = packed.shape[0] * ppr
+    t = packed.reshape(n, C).T                       # [C, n]
+    coords = [jax.lax.slice_in_dim(t, i * NUM_LIMBS, (i + 1) * NUM_LIMBS,
+                                   axis=0) for i in range(2 * cd)]
+    spec = group.ops.spec
+    one = fp.constant(spec.one_mont_limbs, (n,))
+    zero = jnp.zeros_like(one)
+    ymax = coords[cd]
+    for yc in coords[cd + 1:]:
+        ymax = ymax | yc
+    inf = jnp.max(ymax, axis=0) == U32(0)
+
+    def sel(a, b):
+        return jnp.where(inf, a, b)
+
+    if cd == 1:
+        return (sel(zero, coords[0]), sel(one, coords[1]), sel(zero, one))
+    return ((sel(zero, coords[0]), sel(zero, coords[1])),
+            (sel(one, coords[2]), sel(zero, coords[3])),
+            (sel(zero, one), zero))
+
+
 def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
                       rows: int):
     """One signed-digit Pippenger window over packed rows -> one point.

@@ -430,13 +430,23 @@ def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1, curve=None):
             mesh, g1_grp, g1_dev, raw(scalars_mont))
         return pts, dmsm.distributed_pack(mesh, g1_grp, pts)
 
-    _, query_a = enc_g1(at)
-    _, query_b_g1 = enc_g1(bt)
-    _, query_h = enc_g1(ht_scaled)
-    filtered_pts, delta_abc_g1 = enc_g1(filtered_abc)
-    query_b_g2 = dmsm.distributed_pack(
-        mesh, g2_grp, dmsm.distributed_fixed_base_msm(
-            mesh, g2_grp, g2_dev, raw(bt)))
+    def enc_g2_b():
+        pts = dmsm.distributed_fixed_base_msm(mesh, g2_grp, g2_dev, raw(bt))
+        pk = dmsm.distributed_pack(mesh, g2_grp, pts)
+        jax.block_until_ready(pk)
+        return pk
+
+    # the G2 chain compiles/runs on its own thread, overlapped with the
+    # four G1 encodes (the G2 executables are the most expensive compiles;
+    # jax dispatch and XLA compilation are thread-safe and release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut_b_g2 = ex.submit(enc_g2_b)
+        _, query_a = enc_g1(at)
+        _, query_b_g1 = enc_g1(bt)
+        _, query_h = enc_g1(ht_scaled)
+        filtered_pts, delta_abc_g1 = enc_g1(filtered_abc)
+        query_b_g2 = fut_b_g2.result()
 
     # vk gammaABC = the gamma-scaled primary prefix of the filtered query
     gamma_abc_g1 = g1_grp.points_to_host(
@@ -513,11 +523,16 @@ def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2,
         part = dmsm.distributed_pippenger_packed(mesh, grp, packed, scal)
         return _replicated_point_to_host(grp, part)
 
-    eval_a = run_msm(g1_grp, pk.query_a, z_raw)
-    eval_b1 = run_msm(g1_grp, pk.query_b_g1, z_raw)
-    eval_b2 = run_msm(g2_grp, pk.query_b_g2, z_raw)
-    eval_h = run_msm(g1_grp, pk.query_h, h_raw)
-    eval_abc = run_msm(g1_grp, pk.delta_abc_g1, z_aux_raw)
+    # the G2 MSM (most expensive executable) overlaps the G1 MSMs on its
+    # own thread (compiles and dispatch release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut_b2 = ex.submit(run_msm, g2_grp, pk.query_b_g2, z_raw)
+        eval_a = run_msm(g1_grp, pk.query_a, z_raw)
+        eval_b1 = run_msm(g1_grp, pk.query_b_g1, z_raw)
+        eval_h = run_msm(g1_grp, pk.query_h, h_raw)
+        eval_abc = run_msm(g1_grp, pk.delta_abc_g1, z_aux_raw)
+        eval_b2 = fut_b2.result()
 
     g1, g2 = g1_grp.host, g2_grp.host
     a_pt = g1.add(g1.add(pk.alpha_g1, eval_a), g1.mul(pk.delta_g1, r))

@@ -38,6 +38,10 @@ def lib():
     return _LIB
 
 
+def available() -> bool:
+    return lib() is not None
+
+
 def bytes_to_limbs(raw: bytes, n: int, nbytes: int,
                    num_limbs: int) -> np.ndarray | None:
     L = lib()

@@ -26,8 +26,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU compile time dominates the suite (EC modules take minutes at
+# full opt level; ~1.6x faster at level 1).  Tests assert bit-exact
+# results, so any level-1 miscompile would fail loudly.
+# NOTE: do NOT enable the persistent cache here.  With --xla_cpu_max_isa
+# pinned the AOT loader accepts its own CPU entries (default-ISA entries
+# embed +prefer-no-gather pseudo-features it rejects), but executable
+# DESERIALIZATION then segfaults nondeterministically inside
+# compilation_cache.get_executable_and_time — observed twice on full-tier
+# runs, never on per-file runs.
+if "xla_backend_optimization_level" not in flags:
+    flags = flags + " --xla_backend_optimization_level=1"
+os.environ["XLA_FLAGS"] = flags
+jax.config.update("jax_compilation_cache_dir", None)
 
 import random
 

@@ -23,19 +23,32 @@ def proven():
     crs = dgroth16.distributed_setup(mesh, sr, seed=22)
     proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
                                        seed=23)
-    return crs, primary, proof
+    return crs, primary, aux, proof
 
 
 def test_distributed_accept(proven):
-    crs, primary, proof = proven
+    crs, primary, aux, proof = proven
     assert verifier.verify(crs.verification_key, primary, proof)
 
 
 def test_distributed_reject_wrong_input(proven):
-    crs, primary, proof = proven
+    crs, primary, aux, proof = proven
     bad = list(primary)
     bad[1] = (bad[1] + 1) % FR.p
     assert not verifier.verify(crs.verification_key, bad, proof)
+
+
+def test_distributed_prove_packed_msm_path(proven, monkeypatch):
+    """Force the packed Pippenger modules (the production path) through
+    distributed_prove at this tiny size — the default dispatch would pick
+    the naive module below dmsm.NAIVE_THRESHOLD points/chip."""
+    from octopuszk_tpu.parallel import dmsm
+    crs, primary, aux, _ = proven
+    mesh = pmesh.make_mesh()
+    monkeypatch.setattr(dmsm, "NAIVE_THRESHOLD", 0)
+    proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
+                                       seed=29)
+    assert verifier.verify(crs.verification_key, primary, proof)
 
 
 def test_distributed_is_satisfied():

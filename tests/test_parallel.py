@@ -90,10 +90,16 @@ def test_distributed_pippenger_packed(rng, mesh):
     pdev = pmesh.shard_point_batch(mesh, grp.points_to_device(pts))
     packed = dmsm.distributed_pack(mesh, grp, pdev)
     sdev = pmesh.shard_vector(mesh, jnp.asarray(ints_to_limbs(ks, NUM_LIMBS)))
-    got = dmsm.distributed_pippenger_packed(mesh, grp, packed, sdev)
-    single = grp.points_to_host(jac._map_coords(got, lambda c: c[..., None]))[0]
     want = grp.host.naive_msm(ks, pts)
+    # pinned c/lanes forces the Pippenger pipeline at this tiny size
+    got = dmsm.distributed_pippenger_packed(mesh, grp, packed, sdev,
+                                            c=8, lanes=8)
+    single = grp.points_to_host(jac._map_coords(got, lambda c: c[..., None]))[0]
     assert single == want
+    # default dispatch at this size takes the naive module — same result
+    got_n = dmsm.distributed_pippenger_packed(mesh, grp, packed, sdev)
+    assert grp.points_to_host(
+        jac._map_coords(got_n, lambda c: c[..., None]))[0] == want
     serial_packed = msm.points_to_packed(grp, grp.points_to_device(pts))
     serial = msm.pippenger_msm_packed(grp, serial_packed, jnp.asarray(
         ints_to_limbs(ks, NUM_LIMBS)))
