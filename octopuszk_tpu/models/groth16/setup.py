@@ -103,7 +103,7 @@ def setup(r1cs, seed: int = 1, curve=None) -> CRS:
     # then pack each query into the at-rest affine row layout the prover's
     # large-MSM path gathers from (pack once here, reuse across proofs —
     # the reference re-marshals Java arrays into JNI buffers per call)
-    pad_to = msm._msm_pad_to(g1_grp, bucket, None, 21)
+    pad_to = msm._msm_pad_to(g1_grp, bucket, None, 22)
 
     def enc(group, gen_dev, scalars):
         pts = msm.fixed_base_msm(group, gen_dev, scalars)

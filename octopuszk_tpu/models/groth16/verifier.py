@@ -21,7 +21,11 @@ def verify(vk: VerificationKey, primary, proof: Proof, curve=None) -> bool:
     assert primary[0] == 1, "primary input must start with the constant one"
     pairing = curve.pairing
     ab = pairing.reduced_pairing(proof.a, proof.b)
-    eval_abc = curve.g1.host.naive_msm(primary, vk.gamma_abc_g1)
+    # host Pippenger: the reference GPU-offloads this tiny MSM for BN254a
+    # (Verifier.java:45-46); at <= ~2^10 inputs a host windowed sum is
+    # faster than a device round-trip + compile
+    from octopuszk_tpu.ops import msm
+    eval_abc = msm.pippenger_host(curve.g1, list(primary), vk.gamma_abc_g1)
     rhs = pairing.gt_mul(
         vk.alpha_beta_gt,
         pairing.gt_mul(pairing.reduced_pairing(eval_abc, vk.gamma_g2),

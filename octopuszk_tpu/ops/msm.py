@@ -707,7 +707,7 @@ def _plan_packed(n: int, lanes: int | None, chunk_log: int):
 
 
 def pippenger_msm_large(group, points, scalars_raw, c: int | None = None,
-                        lanes: int | None = None, chunk_log: int = 21):
+                        lanes: int | None = None, chunk_log: int = 22):
     """Large variable-base MSM: signed digits + packed-row shuffles +
     fused mixed-add scans, chunked to bound transient HBM."""
     n = _batch_n(points)
@@ -723,7 +723,7 @@ def _msm_pad_to(group, n, lanes, chunk_log):
 
 def pippenger_msm_packed(group, packed, scalars_raw,
                          c: int | None = None, lanes: int | None = None,
-                         chunk_log: int = 21):
+                         chunk_log: int = 22):
     """Variable-base MSM over a pre-packed base (``points_to_packed``).
 
     The packed form is the natural at-rest layout for CRS query vectors —
@@ -833,7 +833,7 @@ def _msm_large_packed_double(g1, g2, packed1, packed2, scalars_raw,
 def pippenger_double_msm_packed(g1, g2, packed1, packed2, scalars_raw,
                                 c: int | None = None,
                                 lanes: int | None = None,
-                                chunk_log: int = 21):
+                                chunk_log: int = 22):
     """Fused variable-base double MSM (same scalars, G1 and G2 bases).
 
     Both packed bases must cover the same (padded) point count."""
@@ -907,6 +907,31 @@ def bos_coster_msm_host(group, scalars, points):
             heapq.heappush(heap, (-s1, i1))
     s, i = heap[0]
     return group.host.mul(pts[i], -s)
+
+
+def pippenger_host(group, scalars, points, c: int = 8):
+    """Host-int Pippenger (CPU reference: VariableBaseMSM.pippengerMSM,
+    VariableBaseMSM.java:134-188).  ~9x fewer EC ops than naive_msm at
+    n ~ 1000 — used by the verifier's primary-input MSM."""
+    if not scalars:
+        return None
+    num_win = (max(s.bit_length() for s in scalars) + c - 1) // c or 1
+    mask = (1 << c) - 1
+    acc = None
+    for w in range(num_win - 1, -1, -1):
+        for _ in range(c):
+            acc = group.host.add(acc, acc) if acc is not None else None
+        buckets = [None] * (1 << c)
+        for s, p in zip(scalars, points):
+            d = (s >> (c * w)) & mask
+            if d and p is not None:
+                buckets[d] = group.host.add(buckets[d], p)
+        run = tot = None
+        for b in range(mask, 0, -1):
+            run = group.host.add(run, buckets[b])
+            tot = group.host.add(tot, run)
+        acc = group.host.add(acc, tot)
+    return acc
 
 
 def double_batch_msm(g1_group, g2_group, base_g1, base_g2, scalars_raw,

@@ -101,7 +101,7 @@ NAIVE_THRESHOLD = 1 << 10
 def distributed_pippenger_packed(mesh, group, packed, scalars_raw,
                                  c: int | None = None,
                                  lanes: int | None = None,
-                                 chunk_log: int = 21):
+                                 chunk_log: int = 22):
     """Large-path distributed MSM: the base is a packed-row tensor
     (ops/msm.py pack_affine_rows) sharded on its row axis; scalars are
     co-sharded on the batch axis.  Per-chip signed-digit Pippenger with

@@ -78,7 +78,7 @@ def profile_vmsm(config, n, which):
     # the product path: packed-row base (the CRS at-rest layout) driving
     # the signed-digit large Pippenger with fused mixed-add scans
     packed = msm.points_to_packed(
-        grp, pts, pad_to=msm._msm_pad_to(grp, n, None, 21))
+        grp, pts, pad_to=msm._msm_pad_to(grp, n, None, 22))
     dt = _timed(config, f"var-msm-{which}",
                 lambda: msm.pippenger_msm_packed(grp, packed, s), n)
     print(f"throughput: {n / dt:.0f} points/s", flush=True)
