@@ -82,17 +82,29 @@ def _butterfly_loop(spec: FieldSpec, x, tw_table, dif: bool):
     logn = n.bit_length() - 1
     batched = x.ndim == 3
 
+    from octopuszk_tpu.ops import pallas_ops
+    total = 1
+    for dim in x.shape[1:]:
+        total *= dim
+    use_pallas = pallas_ops.enabled() and total >= 4096
+
     def body(s, v):
         iA, iB, sign, twk = _stage_indices(n, s, dif)
         a = v[:, iA]
         b = v[:, iB]
         w = tw_table[:, twk]
         if batched:
-            w = w[..., None]
+            w = jnp.broadcast_to(w[..., None], a.shape)
             sign_b = sign[None, :, None]
         else:
             sign_b = sign[None, :]
-        if dif:
+        if use_pallas:
+            L = v.shape[0]
+            flat = lambda t: t.reshape(L, total)
+            add_, sub_ = pallas_ops.butterfly(
+                spec, flat(a), flat(b), flat(w), dif)
+            add_, sub_ = add_.reshape(a.shape), sub_.reshape(a.shape)
+        elif dif:
             # out(sign=0) = a + b ; out(sign=1) = (a - b) * w
             add_ = fp.add(spec, a, b)
             sub_ = fp.mont_mul(spec, fp.sub(spec, a, b), w)
@@ -106,11 +118,35 @@ def _butterfly_loop(spec: FieldSpec, x, tw_table, dif: bool):
     return jax.lax.fori_loop(0, logn, body, x)
 
 
+def _emul(spec: FieldSpec, a, b):
+    """Elementwise Montgomery multiply, routed through the fused Pallas
+    kernel at large shapes (the XLA path's rolled CIOS rounds round-trip
+    every intermediate through HBM).  ``b`` is broadcast to ``a``'s shape
+    if needed."""
+    from octopuszk_tpu.ops import pallas_ops
+    L = a.shape[0]
+    total = 1
+    for dim in a.shape[1:]:
+        total *= dim
+    if pallas_ops.enabled() and total >= 4096:
+        bb = jnp.broadcast_to(b, a.shape)
+        return pallas_ops.mont_mul(
+            spec, a.reshape(L, total), bb.reshape(L, total)).reshape(a.shape)
+    return fp.mont_mul(spec, a, b)
+
+
 def _omega(spec: FieldSpec, n: int, inverse: bool):
     w = spec.rou_of_order(n)
     if inverse:
         w = pow(w, -1, spec.p)
     return jnp.asarray(int_to_limbs(spec.to_mont(w), NUM_LIMBS))
+
+
+# above this size the flat butterfly's [L, n]-wide minor-axis gathers
+# amplify reads ~128x per stage (and their transients killed the worker
+# at 2^24 on a 16 GB chip); the serial Bailey 4-step keeps every gather
+# on [L, sqrt(n), sqrt(n)] blocks with full lane rows
+FOUR_STEP_MIN = 1 << 18
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -122,6 +158,8 @@ def ntt(spec: FieldSpec, coeffs):
     n = coeffs.shape[1]
     if n == 1:
         return coeffs
+    if n >= FOUR_STEP_MIN:
+        return _ntt_4step(spec, coeffs, inverse=False)
     tw = powers(spec, _omega(spec, n, False), n // 2)
     # DIF forward leaves results in bit-reversed order; un-reverse with a
     # DIT-compatible ordering: run DIF then permute.
@@ -138,12 +176,40 @@ def intt(spec: FieldSpec, evals):
     n = evals.shape[1]
     if n == 1:
         return evals
+    if n >= FOUR_STEP_MIN:
+        return _ntt_4step(spec, evals, inverse=True)
     tw = powers(spec, _omega(spec, n, True), n // 2)
     x = evals[:, _bitrev_perm(n)]
     y = _butterfly_loop(spec, x, tw, dif=False)
     n_inv = spec.to_mont(pow(n, -1, spec.p))
-    return fp.mont_mul(spec, y, fp.constant(
-        np.asarray(int_to_limbs(n_inv, NUM_LIMBS)), ()) [:, None])
+    return _emul(spec, y, fp.constant(
+        np.asarray(int_to_limbs(n_inv, NUM_LIMBS)), ())[:, None])
+
+
+def _ntt_4step(spec: FieldSpec, x, inverse: bool):
+    """Serial Bailey 4-step: view [R, C] row-major, transform columns,
+    twiddle by omega^(k1*j2), transform rows, transpose to natural order.
+
+    The single-chip case of the distributed 4-step (parallel/dntt.py,
+    FFTAuxiliary.distributedRadix2FFT role) — both ntt_batched passes
+    gather along a sqrt(n)-sized axis with a full sqrt(n)-lane trailing
+    batch, so every gathered slice is whole tile rows."""
+    L, n = x.shape
+    logn = n.bit_length() - 1
+    R, C = 1 << ((logn + 1) // 2), 1 << (logn // 2)
+    omega = spec.rou_of_order(n)
+    if inverse:
+        omega = pow(omega, -1, spec.p)
+    xl = x.reshape(L, R, C)
+    xl = ntt_batched(spec, xl, inverse=inverse)          # columns (len R)
+    bases = powers(spec, jnp.asarray(
+        int_to_limbs(spec.to_mont(omega), NUM_LIMBS)), C)     # omega^{j2}
+    tw = powers_batched(spec, bases, R)                  # omega^{j2*k1}
+    xl = _emul(spec, xl, tw)
+    xl = jnp.moveaxis(
+        ntt_batched(spec, jnp.moveaxis(xl, 1, 2), inverse=inverse),
+        1, 2)                                            # rows (len C)
+    return jnp.moveaxis(xl, 1, 2).reshape(L, n)
 
 
 def powers_batched(spec: FieldSpec, bases, n: int):
@@ -168,7 +234,7 @@ def ntt_batched(spec: FieldSpec, x, inverse: bool = False):
     if inverse:
         y = _butterfly_loop(spec, x[:, _bitrev_perm(n)], tw, dif=False)
         n_inv = spec.to_mont(pow(n, -1, spec.p))
-        return fp.mont_mul(spec, y, fp.constant(
+        return _emul(spec, y, fp.constant(
             np.asarray(int_to_limbs(n_inv, NUM_LIMBS)), ())[:, None, None])
     y = _butterfly_loop(spec, x, tw, dif=True)
     return y[:, _bitrev_perm(n)]
@@ -193,7 +259,7 @@ def multiply_by_coset(spec: FieldSpec, x, inverse: bool = False):
     n = x.shape[1]
     g = spec.generator if not inverse else pow(spec.generator, -1, spec.p)
     gl = jnp.asarray(int_to_limbs(spec.to_mont(g), NUM_LIMBS))
-    return fp.mont_mul(spec, x, powers(spec, gl, n))
+    return _emul(spec, x, powers(spec, gl, n))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -256,4 +322,4 @@ def divide_by_z_on_coset(spec: FieldSpec, evals):
     n = evals.shape[1]
     zinv = pow(compute_z_at(spec, n, spec.generator), -1, spec.p)
     zc = fp.constant(np.asarray(int_to_limbs(spec.to_mont(zinv), NUM_LIMBS)))
-    return fp.mont_mul(spec, evals, zc[:, None])
+    return _emul(spec, evals, zc[:, None])

@@ -370,3 +370,39 @@ def _mont_mul_kernel(spec):
 
 def mont_mul(spec, a, b):
     return _mont_mul_kernel(spec)(a, b)[0]
+
+
+@functools.cache
+def _mul_sub_kernel(spec):
+    def fn(ins):
+        a, b, c = ins
+        return [fp.sub(spec, fp.mont_mul(spec, a, b), c)]
+    return pointwise_kernel(fn, 3, 1)
+
+
+def mul_sub(spec, a, b, c):
+    """a*b - c fused (the witness map's H = A*B - C on the coset)."""
+    return _mul_sub_kernel(spec)(a, b, c)[0]
+
+
+@functools.cache
+def _butterfly_kernel(spec, dif: bool):
+    """Fused NTT butterfly: (a, b, w) -> (sum, diff) in one launch.
+
+    DIF: (a+b, (a-b)*w); DIT: (a+w*b, a-w*b).  The XLA fallback's rolled
+    CIOS rounds round-trip ~100 intermediate buffers through HBM per
+    mont_mul at NTT shapes; fused, each stage moves just 5 coords."""
+    def fn(ins):
+        a, b, w = ins
+        if dif:
+            return [fp.add(spec, a, b),
+                    fp.mont_mul(spec, fp.sub(spec, a, b), w)]
+        t = fp.mont_mul(spec, b, w)
+        return [fp.add(spec, a, t), fp.sub(spec, a, t)]
+
+    return pointwise_kernel(fn, 3, 2)
+
+
+def butterfly(spec, a, b, w, dif: bool):
+    """[L, n] fused butterfly pair; see _butterfly_kernel."""
+    return _butterfly_kernel(spec, dif)(a, b, w)

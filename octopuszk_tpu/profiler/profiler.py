@@ -34,10 +34,31 @@ def _rand_points(group, n, seed=1):
         _rand_scalars(n, seed))
 
 
+def _rand_packed(group, n, seed=1, chunk_log=22):
+    """n pseudo-random points as packed rows, generated in bounded chunks
+    (one 2^24 fixed-base batch would OOM on transient Jacobian temps)."""
+    from octopuszk_tpu.ops import msm
+    gen = group.point_to_device(group.generator_affine)
+    chunk = min(n, 1 << chunk_log)
+    packs = []
+    for i in range(-(-n // chunk)):
+        pts = msm.fixed_base_msm(group, gen, _rand_scalars(chunk, seed + i))
+        packs.append(msm.points_to_packed(group, pts, pad_to=chunk))
+    return jnp.concatenate(packs, axis=0) if len(packs) > 1 else packs[0]
+
+
+def _force(x):
+    """Materialize on host: block_until_ready does NOT reliably block on
+    the tunneled axon backend — a host fetch does."""
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf.ravel()[:1])
+    return x
+
+
 def _timed(config, name, fn, size):
-    fn()  # warmup / compile
+    _force(fn())  # warmup / compile
     config.begin_runtime(name)
-    jax.block_until_ready(fn())
+    _force(fn())
     dt = config.end_runtime(name)
     print(f"{name} size=2^{size.bit_length()-1}: {dt:.4f}s", flush=True)
     return dt
@@ -73,12 +94,10 @@ def profile_vmsm(config, n, which):
     from octopuszk_tpu.curves import bn254
     from octopuszk_tpu.ops import msm
     grp = bn254.G1 if which == "g1" else bn254.G2
-    pts = _rand_points(grp, n)
     s = _rand_scalars(n, seed=2)
     # the product path: packed-row base (the CRS at-rest layout) driving
     # the signed-digit large Pippenger with fused mixed-add scans
-    packed = msm.points_to_packed(
-        grp, pts, pad_to=msm._msm_pad_to(grp, n, None, 22))
+    packed = _rand_packed(grp, msm._msm_pad_to(grp, n, None, 22))
     dt = _timed(config, f"var-msm-{which}",
                 lambda: msm.pippenger_msm_packed(grp, packed, s), n)
     print(f"throughput: {n / dt:.0f} points/s", flush=True)

@@ -106,7 +106,11 @@ def qap_witness(spec: FieldSpec, r1cs: R1CS, n: int, z):
     a_coset = ntt.coset_ntt(spec, ntt.intt(spec, a_evals))
     b_coset = ntt.coset_ntt(spec, ntt.intt(spec, b_evals))
     c_coset = ntt.coset_ntt(spec, ntt.intt(spec, c_evals))
-    h_coset = fp.sub(spec, fp.mont_mul(spec, a_coset, b_coset), c_coset)
+    from octopuszk_tpu.ops import pallas_ops
+    if pallas_ops.enabled() and n >= 4096:
+        h_coset = pallas_ops.mul_sub(spec, a_coset, b_coset, c_coset)
+    else:
+        h_coset = fp.sub(spec, fp.mont_mul(spec, a_coset, b_coset), c_coset)
     h_coset = ntt.divide_by_z_on_coset(spec, h_coset)
     h = ntt.coset_intt(spec, h_coset)             # [L, n]
     return jnp.concatenate([h, fp.zeros_like_batch((1,))], axis=1)

@@ -214,6 +214,12 @@ def is_satisfied(spec: FieldSpec, r1cs: R1CS, z) -> jnp.ndarray:
 
 
 def assignment_to_device(spec: FieldSpec, values) -> jnp.ndarray:
-    """Host int assignment -> Montgomery limb vector uint32[L, n]."""
-    return jnp.asarray(
-        ints_to_limbs([spec.to_mont(v % spec.p) for v in values], NUM_LIMBS))
+    """Host int assignment -> Montgomery limb vector uint32[L, n].
+
+    Montgomery conversion runs ON DEVICE (one batched mont_mul by R^2):
+    host-side ``to_mont`` is a python big-int mulmod per element, ~10s at
+    the reference's 2^20 test scale; the host only packs raw residue
+    limbs (native/marshal.c fast path)."""
+    raw = jnp.asarray(
+        ints_to_limbs([v % spec.p for v in values], NUM_LIMBS))
+    return fp.to_mont(spec, raw)
