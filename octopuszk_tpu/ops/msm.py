@@ -721,6 +721,21 @@ def _msm_pad_to(group, n, lanes, chunk_log):
     return _plan_packed(n, lanes, chunk_log)[3]
 
 
+# below this size the naive double-and-add module replaces the Pippenger
+# pipeline (matches parallel/dmsm.NAIVE_THRESHOLD): the bucket machinery
+# can't win at tiny n, the naive module compiles ~5x faster on XLA:CPU,
+# and the full window pipeline for non-Pallas curve families (bn254b G2)
+# has crashed the XLA:CPU compiler (deep-recursion segfault) — the
+# reference likewise dispatches small inputs to its simple CPU algorithms
+# (VariableBaseMSM.java:199-213).  Pinning c/lanes forces Pippenger.
+NAIVE_THRESHOLD = 1 << 10
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _naive_packed(group, packed, scalars_raw):
+    return msm_naive(group, packed_to_points(group, packed), scalars_raw)
+
+
 def pippenger_msm_packed(group, packed, scalars_raw,
                          c: int | None = None, lanes: int | None = None,
                          chunk_log: int = 22):
@@ -732,12 +747,14 @@ def pippenger_msm_packed(group, packed, scalars_raw,
     """
     ppr = _points_per_row(group)
     n = packed.shape[0] * ppr
+    if scalars_raw.shape[1] != n:
+        scalars_raw = jnp.pad(
+            scalars_raw, ((0, 0), (0, n - scalars_raw.shape[1])))
+    if c is None and lanes is None and n <= NAIVE_THRESHOLD:
+        return _naive_packed(group, packed, scalars_raw)
     num_chunks, lanes, chunk_m, m_total = _plan_packed(n, lanes, chunk_log)
     rows = chunk_m // lanes
     assert m_total == n, (m_total, n)   # packed bases are pre-padded
-    if scalars_raw.shape[1] != m_total:
-        scalars_raw = jnp.pad(
-            scalars_raw, ((0, 0), (0, m_total - scalars_raw.shape[1])))
     if c is None:
         c = _choose_c_large(chunk_m)
     num_win = -(-255 // c)
@@ -840,12 +857,15 @@ def pippenger_double_msm_packed(g1, g2, packed1, packed2, scalars_raw,
     ppr1, ppr2 = _points_per_row(g1), _points_per_row(g2)
     n = packed1.shape[0] * ppr1
     assert packed2.shape[0] * ppr2 == n, (packed1.shape, packed2.shape)
+    if scalars_raw.shape[1] != n:
+        scalars_raw = jnp.pad(
+            scalars_raw, ((0, 0), (0, n - scalars_raw.shape[1])))
+    if c is None and lanes is None and n <= NAIVE_THRESHOLD:
+        return (_naive_packed(g1, packed1, scalars_raw),
+                _naive_packed(g2, packed2, scalars_raw))
     num_chunks, lanes, chunk_m, m_total = _plan_packed(n, lanes, chunk_log)
     rows = chunk_m // lanes
     assert m_total == n, (m_total, n)
-    if scalars_raw.shape[1] != m_total:
-        scalars_raw = jnp.pad(
-            scalars_raw, ((0, 0), (0, m_total - scalars_raw.shape[1])))
     if c is None:
         c = _choose_c_large(chunk_m)
     num_win = -(-255 // c)

@@ -7,7 +7,19 @@ exercised without TPU hardware.
 """
 
 import os
+import resource
 import sys
+
+# XLA:CPU's recursive optimization passes overflow the default 8 MB stack
+# on the big EC modules (segfault in backend_compile_and_load; the crash
+# site moves between runs).  The Linux main-thread stack grows up to
+# RLIMIT_STACK dynamically, so raising the limit here is enough.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 # hard override: the environment pre-sets JAX_PLATFORMS=axon (the TPU
 # tunnel); tests must run on the virtual CPU mesh.  Also hide the axon
@@ -27,17 +39,17 @@ jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU compile time dominates the suite (EC modules take minutes at
-# full opt level; ~1.6x faster at level 1).  Tests assert bit-exact
-# results, so any level-1 miscompile would fail loudly.
-# NOTE: do NOT enable the persistent cache here.  With --xla_cpu_max_isa
-# pinned the AOT loader accepts its own CPU entries (default-ISA entries
-# embed +prefer-no-gather pseudo-features it rejects), but executable
-# DESERIALIZATION then segfaults nondeterministically inside
-# compilation_cache.get_executable_and_time — observed twice on full-tier
-# runs, never on per-file runs.
-if "xla_backend_optimization_level" not in flags:
-    flags = flags + " --xla_backend_optimization_level=1"
+# NOTE two tempting XLA:CPU speedups that are NOT safe here:
+# * --xla_backend_optimization_level=1 (1.6x faster compiles): the
+#   compiler SEGFAULTS on the bn254b fused double-MSM module at level 1
+#   (backend_compile_and_load, reproduced on two full-suite runs).
+# * the persistent cache: with --xla_cpu_max_isa pinned the AOT loader
+#   accepts its own CPU entries (default-ISA entries embed
+#   +prefer-no-gather pseudo-features it rejects), but executable
+#   deserialization then segfaults nondeterministically
+#   (compilation_cache.get_executable_and_time).
+# The dryrun (__graft_entry__) keeps level 1: its module set is smaller
+# and has run green repeatedly with it.
 os.environ["XLA_FLAGS"] = flags
 jax.config.update("jax_compilation_cache_dir", None)
 
@@ -45,6 +57,17 @@ import random
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU accumulates compiler state across the suite's many large
+    EC-module compiles until a later compile segfaults (the crash site
+    moves with test order; every file passes in isolation).  Dropping the
+    executable/tracing caches between test modules keeps the per-process
+    compile population bounded."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

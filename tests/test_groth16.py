@@ -45,3 +45,14 @@ def test_matmul_groth16_end_to_end():
     crs = setup.setup(r1cs, seed=45)
     proof = prover.prove(crs.proving_key, primary, aux, seed=46)
     assert verifier.verify(crs.verification_key, primary, proof)
+
+
+def test_prove_packed_msm_path(proven, monkeypatch):
+    """Force the packed Pippenger pipeline (the production path) through
+    the serial prover at this tiny size — the default dispatch would pick
+    the naive module below msm.NAIVE_THRESHOLD points."""
+    from octopuszk_tpu.ops import msm
+    crs, primary, aux, _ = proven
+    monkeypatch.setattr(msm, "NAIVE_THRESHOLD", 0)
+    proof = prover.prove(crs.proving_key, primary, aux, seed=11)
+    assert verifier.verify(crs.verification_key, primary, proof)

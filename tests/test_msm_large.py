@@ -95,6 +95,28 @@ def test_large_msm_g2_interpret(rng, monkeypatch):
         pallas_ops.reset_mode_caches()
 
 
+def test_double_msm_packed_pippenger(rng):
+    """Fused G1+G2 double MSM with pinned c/lanes (forces the Pippenger
+    windows modules — the path the serial prover takes at scale)."""
+    import jax.numpy as jnp
+    g1, g2 = bn254.G1, bn254.G2
+    n = 64
+    ks = _rand_scalars(rng, n)
+    ks[0] = 0
+    p1 = _rand_points(rng, g1, n)
+    p2 = _rand_points(rng, g2, n)
+    sc = jnp.asarray(ints_to_limbs(ks, NUM_LIMBS))
+    r1, r2 = msm.pippenger_double_msm_packed(
+        g1, g2,
+        msm.points_to_packed(g1, g1.points_to_device(p1)),
+        msm.points_to_packed(g2, g2.points_to_device(p2)),
+        sc, c=8, lanes=32)
+    for grp, r, pts in ((g1, r1, p1), (g2, r2, p2)):
+        got = grp.points_to_host(
+            jac._map_coords(r, lambda a: a[..., None]))[0]
+        assert got == _host_msm(grp, ks, pts)
+
+
 def test_pointwise_kernels_interpret(rng, monkeypatch):
     """Fused add/double kernels under interpret mode vs XLA formulas."""
     from octopuszk_tpu.ops import pallas_ops

@@ -61,12 +61,23 @@ def test_packed_msm_g1(rng):
     grp = bn254.G1
     ks, pts = _probe_case(rng, grp, N)
     packed = msm.points_to_packed(grp, grp.points_to_device(pts))
+    want = grp.host.naive_msm(ks, pts)
+    # pinned c/lanes force the Pippenger pipeline (defaults at this size
+    # dispatch to the naive module — also checked for agreement)
     got = _single_to_host(
+        grp, msm.pippenger_msm_packed(grp, packed, _scalars_dev(ks),
+                                      c=8, lanes=32))
+    assert got == want
+    got_naive = _single_to_host(
         grp, msm.pippenger_msm_packed(grp, packed, _scalars_dev(ks)))
-    assert got == grp.host.naive_msm(ks, pts)
+    assert got_naive == want
 
 
-def test_double_msm_packed(rng):
+def test_double_msm_packed_naive_dispatch(rng):
+    """Default dispatch at tiny n: the fused double MSM runs the naive
+    modules for both groups (the pinned-Pippenger variant lives in the
+    slow tier, test_msm_large.py — its G2 windows module is the single
+    most expensive XLA:CPU compile in the suite)."""
     g1, g2 = bn254.G1, bn254.G2
     ks = [rng.randrange(FR.p) for _ in range(N)]
     ks[0] = 0
@@ -86,7 +97,7 @@ def test_msm_large_unpacked_alias(rng):
     grp = bn254.G1
     ks, pts = _probe_case(rng, grp, N)
     got = _single_to_host(grp, msm.pippenger_msm_large(
-        grp, grp.points_to_device(pts), _scalars_dev(ks)))
+        grp, grp.points_to_device(pts), _scalars_dev(ks), c=8, lanes=32))
     assert got == grp.host.naive_msm(ks, pts)
 
 
