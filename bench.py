@@ -54,19 +54,19 @@ def gen_packed_points(g1, log2n: int, seed: int = 1):
     return packed
 
 
-def bench_vmsm(log2n: int):
+def bench_vmsm(log2n: int, which: str = "g1"):
     from octopuszk_tpu.curves import bn254
     from octopuszk_tpu.ops import msm
 
     n = 1 << log2n
-    g1 = bn254.G1
-    packed = gen_packed_points(g1, log2n)
+    grp = bn254.G1 if which == "g1" else bn254.G2
+    packed = gen_packed_points(grp, log2n)
     scalars = rand_scalars(n, seed=101)
     np.asarray(scalars[0])  # materialize
 
     def run():
-        r = msm.pippenger_msm_packed(g1, packed, scalars)
-        np.asarray(r[0])  # host copy forces full execution
+        r = msm.pippenger_msm_packed(grp, packed, scalars)
+        np.asarray(r[0] if not isinstance(r[0], tuple) else r[0][0])
         return r
 
     run()  # warmup/compile
@@ -77,7 +77,7 @@ def bench_vmsm(log2n: int):
     dt = (time.perf_counter() - t0) / iters
     pps = n / dt
     return {
-        "metric": f"vmsm_g1_points_per_s_2^{log2n}",
+        "metric": f"vmsm_{which}_points_per_s_2^{log2n}",
         "value": round(pps, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 3),
@@ -105,9 +105,33 @@ def bench_prove(log2c: int):
     }
 
 
+def _record(result):
+    """Append to results/bench_history.csv so every bench run leaves a
+    checked-in artifact (VERDICT r4: perf claims must live in artifacts,
+    not round notes)."""
+    import csv
+    import datetime
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "results", "bench_history.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["utc", "metric", "value", "unit", "vs_baseline"])
+        w.writerow([datetime.datetime.utcnow().isoformat(
+            timespec="seconds"), result["metric"], result["value"],
+            result["unit"], result.get("vs_baseline", "")])
+    return result
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--prove" in sys.argv:
-        print(json.dumps(bench_prove(int(args[0]) if args else 20)))
+        out = bench_prove(int(args[0]) if args else 20)
+    elif "--g2" in sys.argv:
+        out = bench_vmsm(int(args[0]) if args else 22, "g2")
     else:
-        print(json.dumps(bench_vmsm(int(args[0]) if args else 24)))
+        out = bench_vmsm(int(args[0]) if args else 24)
+    print(json.dumps(_record(out)))

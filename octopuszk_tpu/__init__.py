@@ -12,20 +12,17 @@ import os
 # XLA:CPU's recursive optimization passes overflow the default 8 MB stack
 # on the big EC modules (segfault/abort inside backend_compile_and_load).
 # The Linux main-thread stack grows dynamically up to RLIMIT_STACK, so
-# raising the soft limit covers the main thread; worker threads (the
-# library overlaps G2 compiles on one) get a fixed stack at creation, so
-# raise the default python thread stack too (virtual memory — harmless).
+# raising the soft limit covers the main thread.  Worker threads that run
+# compiles (the G2-overlap executor in parallel/dgroth16.py) get a big
+# fixed stack at creation via utils.workers.big_stack_executor — scoped
+# there rather than set process-wide, so threads an embedding application
+# creates are unaffected.
 try:
     import resource as _resource
     _soft, _hard = _resource.getrlimit(_resource.RLIMIT_STACK)
     if _soft != _resource.RLIM_INFINITY:
         _resource.setrlimit(_resource.RLIMIT_STACK, (_hard, _hard))
 except (ImportError, ValueError, OSError):
-    pass
-try:
-    import threading as _threading
-    _threading.stack_size(512 * 1024 * 1024)
-except (ImportError, ValueError, RuntimeError):
     pass
 
 import jax

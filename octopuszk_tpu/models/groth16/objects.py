@@ -35,6 +35,12 @@ class ProvingKey:
     query_h: Any             # query over H coefficients [degree + 1]
     r1cs: Any
     packed: bool = False
+    # delta_abc_g1 layout: False = aux-only entries (serial setup,
+    # scalars z[ni:]); True = all m variables with the primary prefix
+    # gamma-scaled (distributed setup's one-pass filtered query,
+    # FixedBaseMSM.distributedFilterFieldBatchMSM role) — the prover
+    # zeroes primary scalars instead.
+    delta_abc_full: bool = False
 
 
 @dataclasses.dataclass

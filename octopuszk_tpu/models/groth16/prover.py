@@ -62,20 +62,34 @@ def prove(pk: ProvingKey, primary, auxiliary, seed: int = 2,
     ni = r1cs.num_inputs
 
     if pk.packed:
+        import numpy as _np
+
+        # host-resident (numpy) queries stream chunk-by-chunk to the
+        # device — the 2^24-scale path where the CRS exceeds HBM
+        # (docs/HBM_BUDGET.md; serialize.load_crs(device=False))
+        streamed = isinstance(pk.query_a, _np.ndarray)
+        run_single = (msm.pippenger_msm_packed_stream if streamed
+                      else msm.pippenger_msm_packed)
+        run_double = (msm.pippenger_double_msm_packed_stream if streamed
+                      else msm.pippenger_double_msm_packed)
         eval_a = _single_to_host(
-            g1_grp,
-            msm.pippenger_msm_packed(g1_grp, pk.query_a, z_raw))
-        b1, b2 = msm.pippenger_double_msm_packed(
+            g1_grp, run_single(g1_grp, pk.query_a, z_raw))
+        b1, b2 = run_double(
             g1_grp, g2_grp, pk.query_b_g1, pk.query_b_g2, z_raw)
         eval_b1 = _single_to_host(g1_grp, b1)
         eval_b2 = _single_to_host(g2_grp, b2)
         eval_h = _single_to_host(
-            g1_grp,
-            msm.pippenger_msm_packed(g1_grp, pk.query_h, h_raw))
+            g1_grp, run_single(g1_grp, pk.query_h, h_raw))
+        if getattr(pk, "delta_abc_full", False):
+            # distributed-setup layout: full-m filtered query — zero the
+            # primary scalars so only delta-scaled entries contribute
+            import jax.numpy as jnp
+            idx = jnp.arange(z_raw.shape[1], dtype=jnp.int32)
+            abc_scal = jnp.where(idx[None, :] < ni, jnp.uint32(0), z_raw)
+        else:
+            abc_scal = z_raw[:, ni:]
         eval_abc = _single_to_host(
-            g1_grp,
-            msm.pippenger_msm_packed(g1_grp, pk.delta_abc_g1,
-                                     z_raw[:, ni:]))
+            g1_grp, run_single(g1_grp, pk.delta_abc_g1, abc_scal))
     else:
         import jax.numpy as jnp
 

@@ -84,7 +84,8 @@ def _host_from_json(x):
 def save_crs(path: str, crs: CRS) -> None:
     pk, vk = crs.proving_key, crs.verification_key
     arrays = {}
-    meta = {"host": {}, "packed": bool(pk.packed)}
+    meta = {"host": {}, "packed": bool(pk.packed),
+            "delta_abc_full": bool(getattr(pk, "delta_abc_full", False))}
     if pk.packed:
         # packed-row affine queries: one u32[n/ppr, 128] tensor each
         for name in ("delta_abc_g1", "query_a", "query_b_g1",
@@ -119,7 +120,10 @@ def save_crs(path: str, crs: CRS) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_crs(path: str) -> CRS:
+def load_crs(path: str, device: bool = True) -> CRS:
+    """``device=False`` keeps packed queries as HOST numpy arrays — the
+    prover then streams them chunk-by-chunk (the 2^24-scale path where
+    the CRS exceeds HBM, docs/HBM_BUDGET.md)."""
     d = np.load(path if path.endswith(".npz") else path + ".npz")
     meta = json.loads(bytes(d["__meta__"]).decode())
     h = {k: _host_from_json(v) for k, v in meta["host"].items()}
@@ -130,7 +134,8 @@ def load_crs(path: str) -> CRS:
         **meta["r1cs"])
     packed = bool(meta.get("packed", False))
     if packed:
-        queries = {name: jnp.asarray(d[name])
+        conv = jnp.asarray if device else np.asarray
+        queries = {name: conv(d[name])
                    for name in ("delta_abc_g1", "query_a", "query_b_g1",
                                 "query_b_g2", "query_h")}
     else:
@@ -143,7 +148,8 @@ def load_crs(path: str) -> CRS:
     pk = ProvingKey(
         alpha_g1=h["alpha_g1"], beta_g1=h["beta_g1"], beta_g2=h["beta_g2"],
         delta_g1=h["delta_g1"], delta_g2=h["delta_g2"],
-        r1cs=r1cs, packed=packed, **queries)
+        r1cs=r1cs, packed=packed,
+        delta_abc_full=bool(meta.get("delta_abc_full", False)), **queries)
     vk = VerificationKey(
         alpha_beta_gt=h["alpha_beta_gt"], gamma_g2=h["gamma_g2"],
         delta_g2=h["vk_delta_g2"],

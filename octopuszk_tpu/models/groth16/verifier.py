@@ -25,7 +25,8 @@ def verify(vk: VerificationKey, primary, proof: Proof, curve=None) -> bool:
     # (Verifier.java:45-46); at <= ~2^10 inputs a host windowed sum is
     # faster than a device round-trip + compile
     from octopuszk_tpu.ops import msm
-    eval_abc = msm.pippenger_host(curve.g1, list(primary), vk.gamma_abc_g1)
+    eval_abc = msm.pippenger_host(curve.g1, list(primary), vk.gamma_abc_g1,
+                                  order=curve.fr.p)
     rhs = pairing.gt_mul(
         vk.alpha_beta_gt,
         pairing.gt_mul(pairing.reduced_pairing(eval_abc, vk.gamma_g2),

@@ -166,15 +166,47 @@ def _choose_w(n: int) -> int:
     return min(range(4, 15), key=cost)
 
 
+# batch size from which fixed-base evaluation switches to the packed-row
+# path: affine window table packed as u32 gather rows + fused mixed-add
+# accumulation (same machinery as the large variable-base path).  Below
+# it the direct projective gather+add loop compiles faster and the
+# table/pack overhead doesn't amortize.
+FIXED_PACKED_MIN = 1 << 14
+FIXED_CHUNK_LOG = 17
+
+
+def _choose_w_packed(n: int) -> int:
+    """Window width for the packed fixed-base path: evaluation is outerc*n
+    mixed adds and the table build outerc*w*2^w batched adds + a pack, so
+    minimize (254/w)*(n + w*2^w) over a wider range than the small path
+    (the packed table is byte-dense — 128B/point — so w up to 16 stays
+    under ~150 MB)."""
+    def cost(w):
+        return (-(-SCALAR_BITS // w)) * (n + w * (1 << w))
+
+    return min(range(8, 17), key=cost)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def fixed_base_msm(group, base_point, scalars_raw, w: int | None = None):
     """[s_i] G for one base G and a batch of scalars: uint32[L, n] -> batch.
 
     Reference parity: FixedBaseMSM.batchMSM (FixedBaseMSM.java:185-315) +
     the device kernel fixedbase_MSM_unit_processing_G1 (…cu:750-791).
+
+    Large batches (n >= FIXED_PACKED_MIN) take the packed path: the
+    window table is converted to affine packed rows once, then evaluation
+    is a row gather + one fused mixed-add accumulation over windows per
+    scalar chunk — the minor-axis table gathers and full projective adds
+    of the direct loop were the reason setup wall-time dwarfed prove.
     """
+    n = scalars_raw.shape[1]
+    if n >= FIXED_PACKED_MIN:
+        if w is None:
+            w = _choose_w_packed(n)
+        return _fixed_base_msm_packed(group, base_point, scalars_raw, w)
     if w is None:
-        w = _choose_w(scalars_raw.shape[1])
+        w = _choose_w(n)
     outerc = (SCALAR_BITS + w - 1) // w
     table = _window_table(group, base_point, w, outerc)
     digits = _digits(scalars_raw, w, outerc)          # [outerc, n]
@@ -185,9 +217,79 @@ def fixed_base_msm(group, base_point, scalars_raw, w: int | None = None):
         pts = _map_coords(row, lambda c: c[..., d])    # gather [L, n]
         return group.add(acc, pts)
 
-    n = scalars_raw.shape[1]
     init = jac.taint_point(group.infinity((n,)), table, (digits,))
     return jax.lax.fori_loop(0, outerc, body, init)
+
+
+def _fixed_base_msm_packed(group, base_point, scalars_raw, w: int):
+    """Packed-row fixed-base evaluation (see fixed_base_msm docstring).
+
+    Reference parity: getWindowTableG1 + fixedbase_MSM_unit_processing_G1
+    (algebra_msm_FixedBaseMSM.cu:750-995) — table on device, then one
+    table lookup + add per window per scalar; the packed-row/fused-scan
+    realization is TPU-specific.
+    """
+    n = scalars_raw.shape[1]
+    outerc = (SCALAR_BITS + w - 1) // w
+    B = 1 << w
+    table = _window_table(group, base_point, w, outerc)
+    # [L, outerc, B] -> flat [L, outerc*B] batch (win-major), then affine
+    # packed rows; entry win*B + d = [d * 2^(w*win)] G, identity at d=0
+    flat = _map_coords(table, lambda c: c.reshape(c.shape[:-2] + (outerc * B,)))
+    packed_table = points_to_packed(group, flat)
+
+    chunk = min(n, 1 << FIXED_CHUNK_LOG)
+    m = chunk * (-(-n // chunk))
+    if m != n:
+        scalars_raw = jnp.pad(scalars_raw, ((0, 0), (0, m - n)))
+    digits = _digits(scalars_raw, w, outerc)          # [outerc, m]
+    nchunks = m // chunk
+    win_off = (jnp.arange(outerc, dtype=jnp.int32) * B)[:, None]
+
+    from octopuszk_tpu.ops import pallas_ops
+    use_pallas = (pallas_ops.enabled() and chunk >= 128
+                  and group.ops.group_name in ("G1", "G2"))
+
+    def chunk_body(carry, d_c):
+        order = (d_c.astype(jnp.int32) + win_off).reshape(-1)
+        coords = _gather_packed(group, packed_table, order)  # [L, outerc*chunk]
+        if use_pallas:
+            aff_flat = [jnp.moveaxis(
+                c.reshape(NUM_LIMBS, outerc, chunk), 0, 1).reshape(
+                    outerc * NUM_LIMBS, chunk) for c in coords]
+            tot = pallas_ops.scan_accumulate_mixed_total(
+                group.ops.group_name, aff_flat, outerc, chunk)
+            _, _, rebuild = pallas_ops._group_ops(group.ops.group_name)
+            res = rebuild(tot)
+        else:
+            cd = group.coord_dim
+            if cd == 1:
+                q_aff = (coords[0], coords[1])
+                ymax = coords[1]
+            else:
+                q_aff = ((coords[0], coords[1]), (coords[2], coords[3]))
+                ymax = coords[2] | coords[3]
+            infm = jnp.max(ymax, axis=0) == U32(0)
+            q_rows = _map_coords(q_aff, lambda a: jnp.moveaxis(
+                a.reshape(NUM_LIMBS, outerc, chunk), 0, 1))
+            inf_rows = infm.reshape(outerc, chunk)
+
+            def step(carryp, xs):
+                row, im = xs
+                return jac.mixed_add(group.ops, carryp, row,
+                                     q_inf_mask=im), None
+
+            carry0 = jac.taint_point(group.infinity((chunk,)), q_aff)
+            res, _ = jax.lax.scan(step, carry0, (q_rows, inf_rows))
+        return carry, res
+
+    d_chunks = jnp.moveaxis(digits.reshape(outerc, nchunks, chunk), 1, 0)
+    _, res_chunks = jax.lax.scan(chunk_body, 0, d_chunks)
+    out = _map_coords(res_chunks, lambda a: jnp.moveaxis(a, 0, 1).reshape(
+        NUM_LIMBS, m))
+    if m != n:
+        out = _map_coords(out, lambda a: a[..., :n])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -195,11 +297,13 @@ def fixed_base_msm(group, base_point, scalars_raw, w: int | None = None):
 # ---------------------------------------------------------------------------
 
 def _choose_c(n: int) -> int:
-    """Window width.  With the Abel-summation bucket reduction the bucket
-    phase is O(2^c) adds, so c ~ log2(n) - 4 keeps it at ~6% of the
-    accumulation work while minimizing the number of windows.  (The
-    reference's heuristic, algebra_msm_VariableBaseMSM.cu:1267-1272, is
-    log n - log n/3 — tuned for its serial bucket walk.)"""
+    """Window width for the small/medium sort-based path: the reference's
+    heuristic c = log2(n) - log2(n)/3 (algebra_msm_VariableBaseMSM.cu:
+    1267-1272), clamped to [4, 16].  With the Abel-summation bucket
+    reduction the O(2^c) bucket phase stays a small fraction of the scan
+    work at these sizes, so the window count (254/c) dominates and a
+    larger c than the classic log2(n) - 4 pays off.  (The large packed
+    path sizes its windows separately, _choose_c_large.)"""
     logn = max(1, n.bit_length() - 1)
     return max(4, min(16, logn - logn // 3))
 
@@ -528,26 +632,22 @@ def packed_to_points(group, packed):
             (sel(zero, one), zero))
 
 
-def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
-                      rows: int):
-    """One signed-digit Pippenger window over packed rows -> one point.
+def _gather_packed(group, packed, order, negb=None):
+    """Row-gather points ``order`` (int32[m]) from packed affine rows
+    u32[n/ppr, 128] -> list of 2*coord_dim coord arrays [L, m].
 
-    ``d_sorted``/``idx2s``: this window's pre-sorted bucket magnitudes and
-    (index << 1 | negbit) payloads (sorts for all windows are batched into
-    one lax.sort call by the caller).
+    ``negb`` (bool[m], optional) negates Y per element — free sign folding
+    for signed-digit windows.  The identity encodes as (0, 0) — no
+    odd-order subgroup point has Y = 0 — and fp.neg(0) = 0 keeps that
+    encoding.
     """
     from octopuszk_tpu.fields import fp
-    from octopuszk_tpu.ops import pallas_ops
 
-    m = d_sorted.shape[0]
-    B = (1 << (c - 1)) + 1             # bucket ids 0..2^(c-1); 0 = skip
+    m = order.shape[0]
     cd = group.coord_dim
     spec = group.ops.spec
     C = 2 * cd * NUM_LIMBS             # limb lanes per point
     ppr = 128 // C                     # points per packed row
-
-    order = (idx2s >> 1).astype(jnp.int32)
-    negb = (idx2s & 1) != 0
 
     g = packed[order // ppr]            # [m, 128] row gather
     if ppr > 1:
@@ -566,11 +666,29 @@ def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
     t = g.T                             # [C, m]
     coords = [jax.lax.slice_in_dim(t, i * NUM_LIMBS, (i + 1) * NUM_LIMBS,
                                    axis=0) for i in range(2 * cd)]
-    # signed digit => negate Y (free: folded into the shuffle epilogue).
-    # The identity encodes as (0, 0) — no odd-order subgroup point has
-    # Y = 0 — and fp.neg(0) = 0 keeps that encoding.
-    for i in range(cd, 2 * cd):
-        coords[i] = jnp.where(negb, fp.neg(spec, coords[i]), coords[i])
+    if negb is not None:
+        for i in range(cd, 2 * cd):
+            coords[i] = jnp.where(negb, fp.neg(spec, coords[i]), coords[i])
+    return coords
+
+
+def _window_msm_mixed(group, packed, d_sorted, idx2s, c: int, lanes: int,
+                      rows: int):
+    """One signed-digit Pippenger window over packed rows -> one point.
+
+    ``d_sorted``/``idx2s``: this window's pre-sorted bucket magnitudes and
+    (index << 1 | negbit) payloads (sorts for all windows are batched into
+    one lax.sort call by the caller).
+    """
+    from octopuszk_tpu.ops import pallas_ops
+
+    m = d_sorted.shape[0]
+    B = (1 << (c - 1)) + 1             # bucket ids 0..2^(c-1); 0 = skip
+    cd = group.coord_dim
+
+    order = (idx2s >> 1).astype(jnp.int32)
+    negb = (idx2s & 1) != 0
+    coords = _gather_packed(group, packed, order, negb)
 
     def to_rows(a):  # [L, m] -> [rows, L, lanes]
         return jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, rows)), -1, 0)
@@ -929,12 +1047,22 @@ def bos_coster_msm_host(group, scalars, points):
     return group.host.mul(pts[i], -s)
 
 
-def pippenger_host(group, scalars, points, c: int = 8):
+def pippenger_host(group, scalars, points, c: int = 8,
+                   order: int | None = None):
     """Host-int Pippenger (CPU reference: VariableBaseMSM.pippengerMSM,
     VariableBaseMSM.java:134-188).  ~9x fewer EC ops than naive_msm at
-    n ~ 1000 — used by the verifier's primary-input MSM."""
+    n ~ 1000 — used by the verifier's primary-input MSM.
+
+    ``order``: group order; when given, scalars are reduced mod order
+    first so negative / unnormalized caller input decomposes correctly
+    (python ``>>`` on negative ints would silently corrupt digits).
+    """
+    if order is not None:
+        scalars = [s % order for s in scalars]
     if not scalars:
         return None
+    assert all(s >= 0 for s in scalars), \
+        "negative scalars need `order` to normalize"
     num_win = (max(s.bit_length() for s in scalars) + c - 1) // c or 1
     mask = (1 << c) - 1
     acc = None
@@ -955,7 +1083,7 @@ def pippenger_host(group, scalars, points, c: int = 8):
 
 
 def double_batch_msm(g1_group, g2_group, base_g1, base_g2, scalars_raw,
-                     w: int = 8):
+                     w: int | None = None):
     """[s_i]G1 and [s_i]G2 for the same scalars — the reference's
     doubleBatchMSM (FixedBaseMSM.java:489-604) runs both in one GPU
     launch; here the two fixed-base MSMs are issued back-to-back and XLA
@@ -975,3 +1103,85 @@ def field_batch_msm(spec, base_mont, scalars_mont):
     """
     from octopuszk_tpu.fields import fp
     return fp.mont_mul(spec, scalars_mont, base_mont[:, None])
+
+
+# ---------------------------------------------------------------------------
+# host-streamed packed MSM (CRS larger than HBM: docs/HBM_BUDGET.md)
+# ---------------------------------------------------------------------------
+
+
+def _stream_plan(group, packed_host, scalars_host, lanes, chunk_log, c):
+    import numpy as np
+
+    ppr = _points_per_row(group)
+    n = packed_host.shape[0] * ppr
+    if scalars_host.shape[1] != n:
+        scalars_host = np.pad(
+            np.asarray(scalars_host),
+            ((0, 0), (0, n - scalars_host.shape[1])))
+    num_chunks, lanes, chunk_m, m_total = _plan_packed(n, lanes, chunk_log)
+    assert m_total == n, (m_total, n)   # packed bases are pre-padded
+    if c is None:
+        c = _choose_c_large(chunk_m)
+    return scalars_host, num_chunks, lanes, chunk_m, c, -(-255 // c), ppr
+
+
+def pippenger_msm_packed_stream(group, packed_host, scalars_host,
+                                c: int | None = None,
+                                lanes: int | None = None,
+                                chunk_log: int = 22):
+    """Variable-base MSM over a HOST-resident packed base (numpy array),
+    streamed to the device one chunk at a time — the 2^24-scale path
+    where the CRS exceeds HBM (docs/HBM_BUDGET.md).  Numerically
+    identical to ``pippenger_msm_packed``; mirrors the reference's
+    2^21-2^23-element JNI batch streaming (FixedBaseMSM.java:200,257,510).
+    """
+    if (c is None and lanes is None
+            and packed_host.shape[0] * _points_per_row(group)
+            <= NAIVE_THRESHOLD):
+        return pippenger_msm_packed(group, jnp.asarray(packed_host),
+                                    jnp.asarray(scalars_host))
+    scalars_host, num_chunks, lanes, chunk_m, c, num_win, ppr = \
+        _stream_plan(group, packed_host, scalars_host, lanes, chunk_log, c)
+    rows = chunk_m // lanes
+    wr = None
+    for k in range(num_chunks):
+        pc = jnp.asarray(packed_host[k * chunk_m // ppr:
+                                     (k + 1) * chunk_m // ppr])
+        sc = jnp.asarray(scalars_host[:, k * chunk_m:(k + 1) * chunk_m])
+        ds, ix = _sorted_digits(sc, num_win, c)
+        w = _windows_from_sorted(group, pc, ds, ix, c, lanes, rows)
+        wr = w if wr is None else group.add(wr, w)
+    return _combine_windows(group, wr, c)
+
+
+def pippenger_double_msm_packed_stream(g1, g2, p1_host, p2_host,
+                                       scalars_host, c: int | None = None,
+                                       lanes: int | None = None,
+                                       chunk_log: int = 22):
+    """Streamed fused double MSM: shared scalars against host-resident
+    G1 and G2 packed bases; digit extraction + the batched per-window
+    sort run once per chunk for both groups."""
+    if (c is None and lanes is None
+            and p1_host.shape[0] * _points_per_row(g1) <= NAIVE_THRESHOLD):
+        return pippenger_double_msm_packed(
+            g1, g2, jnp.asarray(p1_host), jnp.asarray(p2_host),
+            jnp.asarray(scalars_host))
+    scalars_host, num_chunks, lanes, chunk_m, c, num_win, ppr1 = \
+        _stream_plan(g1, p1_host, scalars_host, lanes, chunk_log, c)
+    ppr2 = _points_per_row(g2)
+    assert p2_host.shape[0] * ppr2 == p1_host.shape[0] * ppr1
+    rows = chunk_m // lanes
+    wr1 = wr2 = None
+    for k in range(num_chunks):
+        sc = jnp.asarray(scalars_host[:, k * chunk_m:(k + 1) * chunk_m])
+        ds, ix = _sorted_digits(sc, num_win, c)
+        p1c = jnp.asarray(p1_host[k * chunk_m // ppr1:
+                                  (k + 1) * chunk_m // ppr1])
+        p2c = jnp.asarray(p2_host[k * chunk_m // ppr2:
+                                  (k + 1) * chunk_m // ppr2])
+        w1 = _windows_from_sorted(g1, p1c, ds, ix, c, lanes, rows)
+        w2 = _windows_from_sorted(g2, p2c, ds, ix, c, lanes, rows)
+        wr1 = w1 if wr1 is None else g1.add(wr1, w1)
+        wr2 = w2 if wr2 is None else g2.add(wr2, w2)
+    return (_combine_windows(g1, wr1, c), _combine_windows(g2, wr2, c))

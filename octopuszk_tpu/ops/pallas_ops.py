@@ -357,6 +357,86 @@ def scan_accumulate_mixed(group_name, aff_rows_flat, rows: int, lanes: int):
     return _scan_mixed_kernel(group_name, rows, lanes)(aff_rows_flat)
 
 
+@functools.cache
+def _scan_mixed_total_kernel(group_name: str, rows: int, lanes: int):
+    """Mixed-add accumulation emitting ONLY the final lane totals.
+
+    Same row-wise EC scan as _scan_mixed_kernel, but the output block
+    doubles as the running carry (output refs are read-write and the
+    block index is constant across the row axis, so Mosaic keeps it in
+    VMEM and flushes once per lane block) — no prefix rows are written.
+    Fixed-base MSM evaluation uses this: per-lane accumulation of one
+    gathered window-table point per row, where the per-row prefixes are
+    meaningless and writing them would triple the HBM traffic.
+    """
+    from octopuszk_tpu.curves import group_ops as jac
+    group, ncoords, rebuild = _group_ops(group_name)
+    naff = 2 * group.coord_dim
+    if group.coord_dim == 1:
+        def rebuild_aff(arrs):
+            return (arrs[0], arrs[1])
+    else:
+        def rebuild_aff(arrs):
+            return ((arrs[0], arrs[1]), (arrs[2], arrs[3]))
+    BL = min(SCAN_BLOCK, lanes)
+    assert lanes % BL == 0
+
+    def kernel(*refs):
+        ins = refs[:naff]
+        outs = refs[naff:]
+        r = pl.program_id(1)
+
+        with _unrolled():
+            @pl.when(r == 0)
+            def _():
+                onef = jnp.concatenate(
+                    [jnp.full((1, BL), int(v), jnp.uint32)
+                     for v in _one_limbs(group_name)], axis=0)
+                zero = jnp.zeros((L, BL), jnp.uint32)
+                y_idx = 1 if ncoords == 3 else 2
+                for ci, o in enumerate(outs):
+                    o[...] = onef if ci == y_idx else zero
+
+            carry = rebuild([o[...] for o in outs])
+            aff = [x[...] for x in ins]
+            q_aff = rebuild_aff(aff)
+            ymax = aff[naff // 2]
+            for yc in aff[naff // 2 + 1:]:
+                ymax = ymax | yc
+            q_inf = jnp.max(ymax.astype(jnp.int32), axis=0,
+                            keepdims=True) == jnp.int32(0)
+            new = jac.mixed_add(group.ops, carry, q_aff, q_inf_mask=q_inf)
+            flat, _ = _flatten_coords(new)
+            for o, v in zip(outs, flat):
+                o[...] = v
+
+    def call(aff_rows_flat):
+        """aff_rows_flat: naff arrays [rows*L, lanes].  Returns ncoords
+        projective total arrays [L, lanes]."""
+        in_spec = pl.BlockSpec((L, BL), lambda i, r: (r, i),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((L, BL), lambda i, r: (0, i),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(lanes // BL, rows),
+            in_specs=[in_spec] * naff,
+            out_specs=[out_spec] * ncoords,
+            out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.uint32)]
+            * ncoords,
+            interpret=interpret_mode(),
+        )(*aff_rows_flat)
+        return out
+
+    return call
+
+
+def scan_accumulate_mixed_total(group_name, aff_rows_flat, rows: int,
+                                lanes: int):
+    """Final lane totals only (see _scan_mixed_total_kernel)."""
+    return _scan_mixed_total_kernel(group_name, rows, lanes)(aff_rows_flat)
+
+
 # ---------------------------------------------------------------------------
 # field kernels
 # ---------------------------------------------------------------------------

@@ -124,13 +124,27 @@ def profile_witness(config, n):
            lambda: qap_witness(FR, r1cs, dom, z), n)
 
 
+# zksnark app input count; settable via the --inputs=N CLI flag so the
+# reference CI configuration (numInputs=1023, SerialzkSNARKTest.java:
+# 141-150) is one command: `... zksnark 20 --inputs=1023`
+ZKSNARK_INPUTS = 3
+
+
 def profile_zksnark(config, n):
     from octopuszk_tpu.models.groth16 import prover, setup, verifier
     from octopuszk_tpu.relations import construct
-    r1cs, primary, aux = construct.serial_construct(n - 3, 3)
-    config.begin_runtime("setup")
+    ni = ZKSNARK_INPUTS
+    r1cs, primary, aux = construct.serial_construct(n - ni, ni)
+    # cold setup includes compiles; warm setup (same shapes, fresh seed)
+    # isolates compute — the compile-vs-compute split VERDICT r4 asked for
+    config.begin_runtime("setup-cold")
     crs = setup.setup(r1cs, seed=config.seed)
-    print(f"setup: {config.end_runtime('setup'):.3f}s", flush=True)
+    cold = config.end_runtime("setup-cold")
+    config.begin_runtime("setup-warm")
+    crs = setup.setup(r1cs, seed=config.seed + 1)
+    warm = config.end_runtime("setup-warm")
+    print(f"setup: cold {cold:.3f}s | warm {warm:.3f}s "
+          f"(inputs={ni})", flush=True)
     prover.prove(crs.proving_key, primary, aux)  # warmup
     config.begin_runtime("prove")
     proof = prover.prove(crs.proving_key, primary, aux)
@@ -442,6 +456,14 @@ DIST_APPS = {
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    global ZKSNARK_INPUTS
+    for fl in [a for a in argv if a.startswith("--")]:
+        if fl.startswith("--inputs="):
+            ZKSNARK_INPUTS = int(fl.split("=", 1)[1])
+        else:
+            print(f"unknown flag {fl}")
+            return 1
+    argv = [a for a in argv if not a.startswith("--")]
     if len(argv) == 2:
         app, log2 = argv[0].lower(), int(argv[1])
         if app not in APPS:

@@ -25,11 +25,13 @@ import sys
 import time
 
 
-def run_one(ndev, app, log2, timeout):
+def run_one(ndev, app, log2, timeout, inputs=None):
     cmd = [sys.executable, "-m", "octopuszk_tpu.profiler"]
     if ndev:
         cmd.append(str(ndev))
     cmd += [app, str(log2)]
+    if inputs:
+        cmd.append(f"--inputs={inputs}")
     t0 = time.time()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
@@ -47,6 +49,8 @@ def main():
                     help="device count for the distributed drivers")
     ap.add_argument("--out", default="/tmp/octopuszk-events/sweep.csv")
     ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--inputs", type=int, default=0,
+                    help="zksnark numInputs (reference CI uses 1023)")
     ap.add_argument("app")
     ap.add_argument("log2sizes", nargs="+", type=int)
     args = ap.parse_args()
@@ -58,7 +62,8 @@ def main():
         if new:
             w.writerow(["app", "ndev", "log2size", "ok", "wall_s", "tail"])
         for log2 in args.log2sizes:
-            ok, dt, tail = run_one(args.ndev, args.app, log2, args.timeout)
+            ok, dt, tail = run_one(args.ndev, args.app, log2, args.timeout,
+                                   args.inputs)
             print(f"{args.app} ndev={args.ndev} 2^{log2}: "
                   f"ok={ok} {dt:.1f}s", flush=True)
             for line in tail:

@@ -114,3 +114,21 @@ def test_predicates(rng):
     z = np.asarray(fp.is_zero(a))
     assert z.tolist() == [True, False, True, False]
     assert np.asarray(fp.eq(a, a)).all()
+
+
+def test_mont_mul_sos_mxu_matches_cios(rng):
+    """MXU-REDC Montgomery multiply (ops/mxu_mont.py) is bit-identical to
+    the CIOS path for random inputs, both BN254 fields, incl. edge values."""
+    import jax.numpy as jnp
+    from octopuszk_tpu.fields.spec import FQ
+    from octopuszk_tpu.ops import mxu_mont
+    from octopuszk_tpu.utils.bigint import ints_to_limbs
+
+    for spec in (FR, FQ):
+        vals_a = [rng.randrange(spec.p) for _ in range(61)] + [0, 1, spec.p - 1]
+        vals_b = [rng.randrange(spec.p) for _ in range(61)] + [spec.p - 1, 0, 1]
+        a = jnp.asarray(ints_to_limbs(vals_a, NUM_LIMBS))
+        b = jnp.asarray(ints_to_limbs(vals_b, NUM_LIMBS))
+        want = fp.mont_mul(spec, a, b)
+        got = mxu_mont.mont_mul_sos_mxu(spec, a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -7,6 +7,7 @@ hardware (VERDICT round-1 item: Pallas kernels had zero CI coverage).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from octopuszk_tpu.curves import bn254, group_ops as jac
@@ -14,6 +15,16 @@ from octopuszk_tpu.fields import fp
 from octopuszk_tpu.fields.spec import FR, FQ, NUM_LIMBS
 from octopuszk_tpu.ops import msm
 from octopuszk_tpu.utils.bigint import ints_to_limbs
+
+
+@pytest.fixture(autouse=True)
+def _bound_compiles_per_test():
+    """XLA:CPU accumulates compiler state until a later large-EC compile
+    segfaults (see tests/conftest.py); this file compiles the biggest
+    modules in the suite (fused double-MSM windows), so bound the
+    population per TEST, not just per module."""
+    yield
+    jax.clear_caches()
 
 
 def _rand_scalars(rng, n):
@@ -139,3 +150,4 @@ def test_pointwise_kernels_interpret(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(got_dbl, want_dbl):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+

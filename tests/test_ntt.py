@@ -55,6 +55,64 @@ def test_ntt_roundtrip(rng, n):
     assert _host(ntt.ntt(FR, ntt.intt(FR, a))) == coeffs
 
 
+@pytest.mark.parametrize("n", [16, 64])
+def test_ntt_4step_vs_naive(rng, n):
+    """Serial Bailey 4-step (the >= FOUR_STEP_MIN production path) on a
+    small domain, against the naive oracle and the flat butterfly path.
+    Called directly so the jit cache of the flat-path traces at the same
+    shapes is not a factor (ADVICE r4: 4-step had no direct unit test)."""
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    a = _dev(coeffs)
+    root = FR.rou_of_order(n)
+    got = _host(ntt._ntt_4step(FR, a, inverse=False))
+    assert got == _naive_eval_all(coeffs, root)
+    assert got == _host(ntt.ntt(FR, a))
+    # inverse 4-step round-trips
+    back = _host(ntt._ntt_4step(FR, ntt._ntt_4step(FR, a, inverse=False),
+                                inverse=True))
+    assert back == coeffs
+
+
+def test_ntt_4step_nonsquare(rng):
+    """Odd log2(n): R != C decomposition (R = 2C)."""
+    n = 32
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    a = _dev(coeffs)
+    got = _host(ntt._ntt_4step(FR, a, inverse=False))
+    assert got == _naive_eval_all(coeffs, FR.rou_of_order(n))
+
+
+def test_butterfly_mulsub_kernels_interpret(rng, monkeypatch):
+    """Fused Pallas butterfly / mul_sub / mont_mul kernels under interpret
+    mode vs the fp formulas (ADVICE r4: these kernels were validated only
+    transitively by TPU runs)."""
+    from octopuszk_tpu.fields import fp
+    from octopuszk_tpu.ops import pallas_ops
+
+    n = 300
+    mk = lambda seed: _dev([rng.randrange(P) for _ in range(n)])
+    a, b, w, c = mk(1), mk(2), mk(3), mk(4)
+    want_dif = (fp.add(FR, a, b), fp.mont_mul(FR, fp.sub(FR, a, b), w))
+    t = fp.mont_mul(FR, b, w)
+    want_dit = (fp.add(FR, a, t), fp.sub(FR, a, t))
+    want_mulsub = fp.sub(FR, fp.mont_mul(FR, a, b), c)
+    want_mul = fp.mont_mul(FR, a, b)
+    monkeypatch.setenv("OCTOPUSZK_PALLAS", "interpret")
+    pallas_ops.reset_mode_caches()
+    try:
+        got_dif = pallas_ops.butterfly(FR, a, b, w, dif=True)
+        got_dit = pallas_ops.butterfly(FR, a, b, w, dif=False)
+        got_mulsub = pallas_ops.mul_sub(FR, a, b, c)
+        got_mul = pallas_ops.mont_mul(FR, a, b)
+    finally:
+        monkeypatch.delenv("OCTOPUSZK_PALLAS")
+        pallas_ops.reset_mode_caches()
+    for got, want in (list(zip(got_dif, want_dif))
+                      + list(zip(got_dit, want_dit))
+                      + [(got_mulsub, want_mulsub), (got_mul, want_mul)]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_coset_vs_naive(rng):
     n = 16
     coeffs = [rng.randrange(P) for _ in range(n)]

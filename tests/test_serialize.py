@@ -41,3 +41,16 @@ def test_proof_roundtrip(tmp_path):
     proof2 = serialize.load_proof(path)
     assert (proof2.a, proof2.b, proof2.c) == (proof.a, proof.b, proof.c)
     assert verifier.verify(crs.verification_key, primary, proof2)
+
+
+def test_streamed_prove_from_host_crs(tmp_path):
+    """load_crs(device=False) keeps queries on host; the prover streams
+    them chunk-by-chunk (docs/HBM_BUDGET.md 2^24 plan) — proof verifies."""
+    r1cs, primary, aux = construct.serial_construct(14, 3, seed=44)
+    crs = setup.setup(r1cs, seed=45)
+    path = str(tmp_path / "crs_stream.npz")
+    serialize.save_crs(path, crs)
+    crs2 = serialize.load_crs(path, device=False)
+    assert isinstance(crs2.proving_key.query_a, np.ndarray)
+    proof = prover.prove(crs2.proving_key, primary, aux, seed=46)
+    assert verifier.verify(crs.verification_key, primary, proof)
