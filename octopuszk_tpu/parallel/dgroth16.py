@@ -439,8 +439,8 @@ def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1, curve=None):
     # the G2 chain compiles/runs on its own thread, overlapped with the
     # four G1 encodes (the G2 executables are the most expensive compiles;
     # jax dispatch and XLA compilation are thread-safe and release the GIL)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    from octopuszk_tpu.utils.workers import big_stack_executor
+    with big_stack_executor() as ex:
         fut_b_g2 = ex.submit(enc_g2_b)
         _, query_a = enc_g1(at)
         _, query_b_g1 = enc_g1(bt)
@@ -460,7 +460,7 @@ def distributed_setup(mesh, sr: ShardedR1CS, seed: int = 1, curve=None):
         delta_g2=g2_grp.host.mul(g2_gen, delta),
         delta_abc_g1=delta_abc_g1, query_a=query_a,
         query_b_g1=query_b_g1, query_b_g2=query_b_g2,
-        query_h=query_h, r1cs=sr, packed=True)
+        query_h=query_h, r1cs=sr, packed=True, delta_abc_full=True)
     vk = VerificationKey(
         alpha_beta_gt=curve.pairing.reduced_pairing(
             pk.alpha_g1, pk.beta_g2),
@@ -514,25 +514,40 @@ def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2,
     h = jnp.pad(h, ((0, 0), (0, pad - n)))
 
     z_raw = fp.from_mont(fr, z)
-    # zero primary scalars for the deltaABC MSM (full-m filtered query)
-    idx = jnp.arange(pad, dtype=jnp.int32)
-    z_aux_raw = jnp.where(idx[None, :] < ni, jnp.uint32(0), z_raw)
+    if getattr(pk, "delta_abc_full", True):
+        # distributed-setup layout (full-m filtered query): zero the
+        # primary scalars so only delta-scaled entries contribute
+        idx = jnp.arange(pad, dtype=jnp.int32)
+        z_aux_raw = jnp.where(idx[None, :] < ni, jnp.uint32(0), z_raw)
+    else:
+        # serial-setup layout (aux-only query, re-sharded via shard_crs):
+        # align scalars by dropping the primary prefix
+        z_aux_raw = jnp.pad(z_raw[:, ni:], ((0, 0), (0, ni)))
     h_raw = fp.from_mont(fr, h)
 
     def run_msm(grp, packed, scal):
         part = dmsm.distributed_pippenger_packed(mesh, grp, packed, scal)
         return _replicated_point_to_host(grp, part)
 
-    # the G2 MSM (most expensive executable) overlaps the G1 MSMs on its
-    # own thread (compiles and dispatch release the GIL)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut_b2 = ex.submit(run_msm, g2_grp, pk.query_b_g2, z_raw)
+    def run_double():
+        # fused queryB double MSM: digit extraction + per-window sort
+        # shared between the G1 and G2 pipelines (the work the reference
+        # fuses per partition, VariableBaseMSM.java:805-820)
+        r1, r2 = dmsm.distributed_pippenger_double_packed(
+            mesh, g1_grp, g2_grp, pk.query_b_g1, pk.query_b_g2, z_raw)
+        return (_replicated_point_to_host(g1_grp, r1),
+                _replicated_point_to_host(g2_grp, r2))
+
+    # the fused B MSM (with the most expensive G2 executable) overlaps
+    # the remaining G1 MSMs on its own thread (compiles and dispatch
+    # release the GIL)
+    from octopuszk_tpu.utils.workers import big_stack_executor
+    with big_stack_executor() as ex:
+        fut_b = ex.submit(run_double)
         eval_a = run_msm(g1_grp, pk.query_a, z_raw)
-        eval_b1 = run_msm(g1_grp, pk.query_b_g1, z_raw)
         eval_h = run_msm(g1_grp, pk.query_h, h_raw)
         eval_abc = run_msm(g1_grp, pk.delta_abc_g1, z_aux_raw)
-        eval_b2 = fut_b2.result()
+        eval_b1, eval_b2 = fut_b.result()
 
     g1, g2 = g1_grp.host, g2_grp.host
     a_pt = g1.add(g1.add(pk.alpha_g1, eval_a), g1.mul(pk.delta_g1, r))
@@ -548,3 +563,79 @@ def distributed_prove(mesh, pk, primary, auxiliary, seed: int = 2,
 def _replicated_point_to_host(grp, p):
     from octopuszk_tpu.curves import group_ops as jac
     return grp.points_to_host(jac._map_coords(p, lambda c: c[..., None]))[0]
+
+
+# ---------------------------------------------------------------------------
+# distributed CRS persistence bridge (gather-to-serial / re-shard)
+# ---------------------------------------------------------------------------
+
+
+def _unshard_matrix(sm: ShardedMatrix) -> SparseMatrix:
+    """ShardedMatrix -> host SparseMatrix (device_get gathers the shards;
+    the zero-value nnz padding added by shard_matrix is kept — padded
+    terms multiply to zero, so every consumer is unaffected)."""
+    return SparseMatrix(
+        row=jnp.asarray(np.asarray(sm.row)),
+        col=jnp.asarray(np.asarray(sm.col)),
+        val=jnp.asarray(np.asarray(sm.val)),
+        row_chunk=jnp.asarray(np.asarray(sm.row_chunk)),
+        row_chunk_seg=jnp.asarray(np.asarray(sm.row_chunk_seg)),
+        col_chunk=jnp.asarray(np.asarray(sm.col_chunk)),
+        col_chunk_seg=jnp.asarray(np.asarray(sm.col_chunk_seg)),
+        num_rows=sm.num_rows, num_cols=sm.num_cols)
+
+
+def gather_crs(mesh, crs):
+    """Distributed CRS -> serial-form CRS (host/gathered arrays) that
+    ``models.groth16.serialize.save_crs`` can persist.
+
+    The packed row-sharded queries gather to full u32[n/ppr, 128] tensors
+    and the ShardedR1CS to a host SparseMatrix R1CS; the result also
+    proves directly with the SERIAL prover (the layouts coincide).
+    The reference has no CRS persistence at all (SURVEY.md §5) — at
+    billions of gates a re-runnable setup is not optional.
+    """
+    from octopuszk_tpu.models.groth16.objects import CRS, ProvingKey
+
+    pk = crs.proving_key
+    assert pk.packed, "gather_crs expects a packed distributed CRS"
+    sr = pk.r1cs
+    r1cs = R1CS(
+        a=_unshard_matrix(sr.a), b=_unshard_matrix(sr.b),
+        c=_unshard_matrix(sr.c), num_constraints=sr.num_constraints,
+        num_inputs=sr.num_inputs, num_variables=sr.num_variables)
+    gq = lambda q: jnp.asarray(np.asarray(q))
+    new_pk = ProvingKey(
+        alpha_g1=pk.alpha_g1, beta_g1=pk.beta_g1, beta_g2=pk.beta_g2,
+        delta_g1=pk.delta_g1, delta_g2=pk.delta_g2,
+        delta_abc_g1=gq(pk.delta_abc_g1), query_a=gq(pk.query_a),
+        query_b_g1=gq(pk.query_b_g1), query_b_g2=gq(pk.query_b_g2),
+        query_h=gq(pk.query_h), r1cs=r1cs, packed=True,
+        delta_abc_full=getattr(pk, "delta_abc_full", True))
+    return CRS(proving_key=new_pk, verification_key=crs.verification_key)
+
+
+def shard_crs(mesh, crs):
+    """Serial-form packed CRS (setup.setup output or serialize.load_crs)
+    -> distributed CRS: row-shard every packed query over the mesh and
+    shard the R1CS.  Inverse of ``gather_crs`` up to array placement.
+    """
+    from octopuszk_tpu.models.groth16.objects import CRS, ProvingKey
+
+    pk = crs.proving_key
+    assert pk.packed, "shard_crs expects a packed CRS"
+    d = mesh.devices.size
+    sh_rows = jax.sharding.NamedSharding(mesh, P(AXIS, None))
+    def sq(q):
+        assert q.shape[0] % d == 0, (q.shape, d)
+        return jax.device_put(q, sh_rows)
+    sr = (pk.r1cs if isinstance(pk.r1cs, ShardedR1CS)
+          else shard_r1cs(mesh, pk.r1cs))
+    new_pk = ProvingKey(
+        alpha_g1=pk.alpha_g1, beta_g1=pk.beta_g1, beta_g2=pk.beta_g2,
+        delta_g1=pk.delta_g1, delta_g2=pk.delta_g2,
+        delta_abc_g1=sq(pk.delta_abc_g1), query_a=sq(pk.query_a),
+        query_b_g1=sq(pk.query_b_g1), query_b_g2=sq(pk.query_b_g2),
+        query_h=sq(pk.query_h), r1cs=sr, packed=True,
+        delta_abc_full=getattr(pk, "delta_abc_full", False))
+    return CRS(proving_key=new_pk, verification_key=crs.verification_key)

@@ -13,6 +13,16 @@ from octopuszk_tpu.parallel import dgroth16, mesh as pmesh
 from octopuszk_tpu.relations import construct
 
 
+@pytest.fixture(autouse=True)
+def _bound_compiles_per_test():
+    """This file compiles the largest distributed modules (fused double
+    MSM, bn254b EC graphs); XLA:CPU accumulates compiler state until a
+    later compile segfaults (tests/conftest.py), so bound the population
+    per TEST here, not just per module."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def proven():
     assert len(jax.devices()) == 8
@@ -41,11 +51,12 @@ def test_distributed_reject_wrong_input(proven):
 def test_distributed_prove_packed_msm_path(proven, monkeypatch):
     """Force the packed Pippenger modules (the production path) through
     distributed_prove at this tiny size — the default dispatch would pick
-    the naive module below dmsm.NAIVE_THRESHOLD points/chip."""
-    from octopuszk_tpu.parallel import dmsm
+    the naive module below msm.NAIVE_THRESHOLD points/chip (the shared
+    constant dmsm reads at call time)."""
+    from octopuszk_tpu.ops import msm
     crs, primary, aux, _ = proven
     mesh = pmesh.make_mesh()
-    monkeypatch.setattr(dmsm, "NAIVE_THRESHOLD", 0)
+    monkeypatch.setattr(msm, "NAIVE_THRESHOLD", 0)
     proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
                                        seed=29)
     assert verifier.verify(crs.verification_key, primary, proof)
@@ -85,3 +96,26 @@ def test_distributed_bn254b_end_to_end():
     proof = dgroth16.distributed_prove(mesh, crs.proving_key, primary, aux,
                                        seed=26, curve=curve)
     assert verifier.verify(crs.verification_key, primary, proof, curve=curve)
+
+
+def test_distributed_crs_roundtrip(proven, tmp_path):
+    """Distributed CRS persistence: gather -> save -> load -> re-shard ->
+    distributed prove from the reloaded CRS verifies (VERDICT r4 item:
+    a distributed CRS could be neither saved nor rehydrated).  The
+    gathered form also proves with the SERIAL prover."""
+    from octopuszk_tpu.models.groth16 import prover as sprover, serialize
+
+    crs, primary, aux, _ = proven
+    mesh = pmesh.make_mesh()
+    gathered = dgroth16.gather_crs(mesh, crs)
+    path = str(tmp_path / "dcrs.npz")
+    serialize.save_crs(path, gathered)
+    reloaded = serialize.load_crs(path)
+    # serial prove from the gathered/reloaded CRS
+    sproof = sprover.prove(reloaded.proving_key, primary, aux, seed=41)
+    assert verifier.verify(reloaded.verification_key, primary, sproof)
+    # re-shard onto the mesh and prove distributed
+    dcrs = dgroth16.shard_crs(mesh, reloaded)
+    dproof = dgroth16.distributed_prove(mesh, dcrs.proving_key, primary,
+                                        aux, seed=42)
+    assert verifier.verify(dcrs.verification_key, primary, dproof)
