@@ -11,6 +11,7 @@ mkdir -p "$OUT"
 
 # 0. MXU Montgomery experiment (microbenchmarks + SOS-vs-CIOS)
 timeout 1800 python scripts/mxu_experiment.py 20 | tee "$OUT/mxu_experiment_r5.txt"
+timeout 1800 python scripts/gather_experiment.py 21 | tee "$OUT/gather_experiment_r5.txt"
 
 # 1. MSM sweeps: G1 + G2 variable-base, G1 + G2 fixed-base
 timeout 7200 python scripts/sweep.py --out "$OUT/sweep_serial_r5.csv" vmsm-g1 16 18 20 22 24
