@@ -120,7 +120,7 @@ def _record(result):
         w = csv.writer(f)
         if new:
             w.writerow(["utc", "metric", "value", "unit", "vs_baseline"])
-        w.writerow([datetime.datetime.utcnow().isoformat(
+        w.writerow([datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"), result["metric"], result["value"],
             result["unit"], result.get("vs_baseline", "")])
     return result

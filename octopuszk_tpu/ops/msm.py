@@ -1185,3 +1185,47 @@ def pippenger_double_msm_packed_stream(g1, g2, p1_host, p2_host,
         wr1 = w1 if wr1 is None else g1.add(wr1, w1)
         wr2 = w2 if wr2 is None else g2.add(wr2, w2)
     return (_combine_windows(g1, wr1, c), _combine_windows(g2, wr2, c))
+
+
+# ---------------------------------------------------------------------------
+# partitioned host profiling variants (reference parity:
+# VariableBaseMSM.distributedSortedMSM / BosCoster / Pippenger,
+# VariableBaseMSM.java:821-892 — Spark mapPartitions(CPU algorithm) +
+# reduce(add), used only by the profiler to compare algorithm classes)
+# ---------------------------------------------------------------------------
+
+
+def _partitioned_host_msm(group, scalars, points, alg, num_partitions):
+    """Split (scalars, points) into partitions, run a host algorithm per
+    partition, reduce with host adds — the exact shape of the reference's
+    mapPartitions profiling wrappers (the real prover path is the device
+    Pippenger; these exist for algorithm-class comparisons)."""
+    n = len(scalars)
+    num_partitions = max(1, min(num_partitions, n))
+    per = -(-n // num_partitions)
+    acc = None
+    for i in range(0, n, per):
+        part = alg(group, scalars[i:i + per], points[i:i + per])
+        acc = group.host.add(acc, part)
+    return acc
+
+
+def distributed_sorted_msm_host(group, scalars, points, num_partitions=8):
+    """VariableBaseMSM.distributedSortedMSM (…java:821-845) parity."""
+    return _partitioned_host_msm(group, scalars, points, sorted_msm_host,
+                                 num_partitions)
+
+
+def distributed_bos_coster_msm_host(group, scalars, points,
+                                    num_partitions=8):
+    """VariableBaseMSM.distributedBosCosterMSM (…java:846-868) parity."""
+    return _partitioned_host_msm(group, scalars, points,
+                                 bos_coster_msm_host, num_partitions)
+
+
+def distributed_pippenger_msm_host(group, scalars, points,
+                                   num_partitions=8):
+    """VariableBaseMSM.distributedPippengerMSM (…java:869-892) parity."""
+    return _partitioned_host_msm(
+        group, scalars, points,
+        lambda g, s, p: pippenger_host(g, s, p), num_partitions)

@@ -101,3 +101,17 @@ def test_field_batch_msm(rng):
         jnp.asarray(ints_to_limbs([FR.to_mont(k) for k in ks], NUM_LIMBS)))
     got = [FR.from_mont(v) for v in limbs_to_ints(np.asarray(out))]
     assert got == [k * base % FR.p for k in ks]
+
+
+def test_partitioned_host_profiling_variants(rng):
+    """distributedSorted/BosCoster/Pippenger profiling parity
+    (VariableBaseMSM.java:821-892): partitioned host algorithms agree
+    with the naive oracle."""
+    grp = bn254.G1
+    n = 23
+    ks = [rng.randrange(FR.p) for _ in range(n - 1)] + [0]
+    pts = _rand_points(rng, grp, n)
+    want = grp.host.naive_msm(ks, pts)
+    assert msm.distributed_sorted_msm_host(grp, ks, pts, 4) == want
+    assert msm.distributed_bos_coster_msm_host(grp, ks, pts, 4) == want
+    assert msm.distributed_pippenger_msm_host(grp, ks, pts, 4) == want
