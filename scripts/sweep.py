@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--inputs", type=int, default=0,
                     help="zksnark numInputs (reference CI uses 1023)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="re-run a failed row up to N extra times "
+                    "(worker-death recovery; the reference delegates this "
+                    "to Spark speculation/lineage, SURVEY.md §5)")
     ap.add_argument("app")
     ap.add_argument("log2sizes", nargs="+", type=int)
     args = ap.parse_args()
@@ -62,8 +66,13 @@ def main():
         if new:
             w.writerow(["app", "ndev", "log2size", "ok", "wall_s", "tail"])
         for log2 in args.log2sizes:
-            ok, dt, tail = run_one(args.ndev, args.app, log2, args.timeout,
-                                   args.inputs)
+            for attempt in range(1 + max(0, args.retries)):
+                ok, dt, tail = run_one(args.ndev, args.app, log2,
+                                       args.timeout, args.inputs)
+                if ok:
+                    break
+                print(f"  retry {attempt + 1}: {args.app} 2^{log2} failed",
+                      flush=True)
             print(f"{args.app} ndev={args.ndev} 2^{log2}: "
                   f"ok={ok} {dt:.1f}s", flush=True)
             for line in tail:

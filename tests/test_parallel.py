@@ -201,3 +201,24 @@ def test_distributed_bace_verifier(rng, mesh):
         (jnp.asarray(proof)[0, 3] + 1) % (1 << 16))
     assert not dbace.distributed_verify_proof(mesh, FR, c, bad, dev, K,
                                               seed=7)
+
+
+def test_distributed_bace_get_result(rng, mesh):
+    """distributed_get_result == serial get_result (bace/Verifier.java:
+    74-89 role)."""
+    from octopuszk_tpu.models.bace import prover as sprover
+    from octopuszk_tpu.models.bace import verifier as sverifier
+    from octopuszk_tpu.models.bace.circuit import (
+        Circuit, InputGate, ProductGate, SumGate)
+    from octopuszk_tpu.parallel import dbace
+
+    c = Circuit(2, ProductGate(SumGate(InputGate(0), InputGate(1)),
+                               InputGate(1)))
+    K = 64
+    flat = [rng.randrange(P) for _ in range(2 * K)]
+    dev = _dev(flat)
+    proof = sprover.compute_proof(FR, c, dev, K)
+    want = np.asarray(sverifier.get_result(FR, c, proof, K))
+    sharded = pmesh.shard_vector(mesh, proof)
+    got = np.asarray(dbace.distributed_get_result(mesh, FR, c, sharded, K))
+    np.testing.assert_array_equal(got, want)
