@@ -34,16 +34,16 @@ def rand_scalars(n, bits=253, seed=0):
     return jnp.asarray(limbs)
 
 
-def gen_packed_points(g1, log2n: int, seed: int = 1):
-    """n pseudo-random G1 points as packed affine rows, built on device in
-    2^22-point chunks: [k_i]G via fixed-base MSM, then pack."""
+def gen_packed_points(g1, log2n: int, seed: int = 1, chunk_log2: int = 22):
+    """n pseudo-random points as packed affine rows, built on device in
+    2^chunk_log2-point chunks: [k_i]G via fixed-base MSM, then pack."""
     import jax
     import jax.numpy as jnp
     from octopuszk_tpu.ops import msm
 
     n = 1 << log2n
     gen = g1.point_to_device(g1.generator_affine)
-    chunk = min(n, 1 << 22)
+    chunk = min(n, 1 << chunk_log2)
     packs = []
     for i in range(n // chunk):
         pts = msm.fixed_base_msm(g1, gen, rand_scalars(chunk, seed=seed + i))
@@ -60,7 +60,11 @@ def bench_vmsm(log2n: int, which: str = "g1"):
 
     n = 1 << log2n
     grp = bn254.G1 if which == "g1" else bn254.G2
-    packed = gen_packed_points(grp, log2n)
+    # G2 packed rows are 2x G1 (Fp2 coords); 2^22 G2 plus the generation
+    # working set exhausts a 16 GB chip (measured RESOURCE_EXHAUSTED), so
+    # generate in smaller chunks for G2.
+    packed = gen_packed_points(grp, log2n,
+                               chunk_log2=20 if which == "g2" else 22)
     scalars = rand_scalars(n, seed=101)
     np.asarray(scalars[0])  # materialize
 

@@ -77,7 +77,14 @@ def setup(r1cs, seed: int = 1, curve=None) -> CRS:
     inv_gamma = pow(gamma, -1, fr.p)
     inv_delta = pow(delta, -1, fr.p)
 
+    import os as _os
+    import time as _time0
+    _tq = _time0.perf_counter()
     qap = qap_instance(fr, r1cs, t)
+    if _os.environ.get("OCTOPUSZK_SETUP_TIMERS"):
+        np.asarray(jax.tree_util.tree_leaves(qap.at)[0]).ravel()[:1]
+        print(f"setup-stage qap-instance: {_time0.perf_counter() - _tq:.3f}s",
+              flush=True)
     ni, m = qap.num_inputs, qap.num_variables
 
     # pad every query-scalar vector to ONE common power-of-two bucket:
@@ -92,12 +99,30 @@ def setup(r1cs, seed: int = 1, curve=None) -> CRS:
     g1_dev = g1_grp.point_to_device(g1_gen)
     g2_dev = g2_grp.point_to_device(g2_gen)
 
+    import os
+    import time as _time
+    _timers = os.environ.get("OCTOPUSZK_SETUP_TIMERS")
+    _t = _time.perf_counter
+
+    def _mark(label, since, value=None):
+        # force materialization so the stage is actually done (the axon
+        # tunnel does not reliably block in block_until_ready; a host
+        # fetch does)
+        if _timers:
+            if value is not None:
+                leaf = jax.tree_util.tree_leaves(value)[0]
+                np.asarray(leaf).ravel()[:1]
+            print(f"setup-stage {label}: {_t() - since:.3f}s", flush=True)
+        return _t()
+
+    t0 = _t()
     cst = lambda x: _const(fr, x)
     scal = _setup_scalars(fr, ni, m, bucket)(
         qap.at, qap.bt, qap.ct, qap.ht, cst(beta), cst(alpha),
         cst(inv_gamma), cst(inv_delta),
         cst(qap.zt * inv_delta % fr.p))
     at_raw, bt_raw, gamma_raw, delta_raw, ht_raw = scal
+    t0 = _mark("scalars", t0, scal)
 
     # fixed-base batch MSMs for all queries (FixedBaseMSM.batchMSM role),
     # then pack each query into the at-rest affine row layout the prover's
@@ -110,11 +135,17 @@ def setup(r1cs, seed: int = 1, curve=None) -> CRS:
         return msm.points_to_packed(group, pts, pad_to=pad_to)
 
     query_a = enc(g1_grp, g1_dev, at_raw)
+    t0 = _mark("enc-A(g1)", t0, query_a)
     query_b_g1 = enc(g1_grp, g1_dev, bt_raw)
+    t0 = _mark("enc-B(g1)", t0, query_b_g1)
     query_b_g2 = enc(g2_grp, g2_dev, bt_raw)
+    t0 = _mark("enc-B(g2)", t0, query_b_g2)
     delta_abc_g1 = enc(g1_grp, g1_dev, delta_raw)
+    t0 = _mark("enc-deltaABC(g1)", t0, delta_abc_g1)
     query_h = enc(g1_grp, g1_dev, ht_raw)
+    t0 = _mark("enc-H(g1)", t0, query_h)
     gamma_abc_g1 = msm.fixed_base_msm(g1_grp, g1_dev, gamma_raw)
+    t0 = _mark("enc-gammaABC(g1)", t0, gamma_abc_g1)
 
     alpha_g1 = g1_grp.host.mul(g1_gen, alpha)
     beta_g1 = g1_grp.host.mul(g1_gen, beta)
